@@ -1,0 +1,221 @@
+"""Bounding volume hierarchy: host-side binned-SAH build, device traversal.
+
+Build follows the reference's binned SAH (6 buckets over the largest centroid
+axis, cost = sum(area * count) / root_area, even-split fallback on degenerate
+axes — spatial/bvh.rs:36-155), vectorized with numpy so ~1M-triangle meshes
+build in seconds. The tree is flattened depth-first with subtree-size skip
+links (bvh.rs:250-276), which is exactly the stackless layout a TPU wavefront
+traversal wants: traversal state per ray is a single node cursor.
+
+Device traversal is a lax.while_loop per ray (vmapped): at each step either
+descend (cursor+1) or skip the subtree (cursor+subtree+1). Leaves intersect
+their primitive inline via a caller-provided callback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .spectra import DEFAULT_SPECTRUM_SPAN  # noqa: F401  (re-export convenience)
+
+DIST_EPSILON = 1e-4
+BUCKETS = 6
+
+
+@dataclass
+class FlatBvh:
+    """Depth-first flattened BVH with skip links.
+
+    nodes: bbox_min [M, 3], bbox_max [M, 3]
+    subtree_size [M]: number of descendant nodes (0 for leaves)
+    prim_index [M]: primitive id for leaves, -1 for inner nodes
+    """
+
+    bbox_min: np.ndarray
+    bbox_max: np.ndarray
+    subtree_size: np.ndarray
+    prim_index: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.subtree_size)
+
+
+def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBvh:
+    """Build a flat BVH over primitives given their AABBs ([K, 3] each)."""
+    count = len(prim_min)
+    if count == 0:
+        return FlatBvh(
+            bbox_min=np.zeros((0, 3), np.float32),
+            bbox_max=np.zeros((0, 3), np.float32),
+            subtree_size=np.zeros(0, np.int32),
+            prim_index=np.zeros(0, np.int32),
+        )
+
+    centroids = (prim_min + prim_max) * 0.5
+
+    # Emission in depth-first order with a retro-patch of subtree sizes.
+    out_min: list = []
+    out_max: list = []
+    out_size: list = []
+    out_prim: list = []
+
+    def surface_area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+
+    # Stack entries: ("node", indices) to emit, or ("patch", node_pos) to fix
+    # the subtree size after children are emitted.
+    stack = [("node", np.arange(count))]
+    while stack:
+        kind, payload = stack.pop()
+        if kind == "patch":
+            out_size[payload] = len(out_size) - payload - 1
+            continue
+
+        indices = payload
+        lo = prim_min[indices].min(axis=0)
+        hi = prim_max[indices].max(axis=0)
+
+        if len(indices) == 1:
+            out_min.append(lo)
+            out_max.append(hi)
+            out_size.append(0)
+            out_prim.append(indices[0])
+            continue
+
+        cmin = centroids[indices].min(axis=0)
+        cmax = centroids[indices].max(axis=0)
+        extent = cmax - cmin
+        axis = int(np.argmax(extent))
+
+        if extent[axis] < DIST_EPSILON:
+            # Degenerate cluster: split evenly (bvh.rs:68-91).
+            half = len(indices) // 2
+            first, second = indices[:half], indices[half:]
+        else:
+            pos = centroids[indices, axis]
+            bucket_of = np.minimum(
+                (BUCKETS * (pos - cmin[axis]) / extent[axis]).astype(np.int64),
+                BUCKETS - 1,
+            )
+            # Per-bucket stats.
+            best_cost = np.inf
+            best_split = 1
+            counts = np.zeros(BUCKETS, np.int64)
+            bucket_lo = np.full((BUCKETS, 3), np.inf, np.float32)
+            bucket_hi = np.full((BUCKETS, 3), -np.inf, np.float32)
+            for b in range(BUCKETS):
+                mask = bucket_of == b
+                counts[b] = mask.sum()
+                if counts[b]:
+                    sel = indices[mask]
+                    bucket_lo[b] = prim_min[sel].min(axis=0)
+                    bucket_hi[b] = prim_max[sel].max(axis=0)
+            root_area = surface_area(lo, hi)
+
+            def side_area(cnts, los, his):
+                if cnts.sum() == 0:
+                    return 0.0
+                m = cnts > 0
+                return surface_area(los[m].min(axis=0), his[m].max(axis=0))
+
+            for split in range(1, BUCKETS):
+                c1 = counts[:split].sum()
+                c2 = counts[split:].sum()
+                a1 = side_area(counts[:split], bucket_lo[:split], bucket_hi[:split])
+                a2 = side_area(counts[split:], bucket_lo[split:], bucket_hi[split:])
+                cost = (a1 * c1 + a2 * c2) / max(root_area, 1e-30)
+                if cost < best_cost:
+                    best_cost = cost
+                    best_split = split
+            first_mask = bucket_of < best_split
+            first, second = indices[first_mask], indices[~first_mask]
+            if len(first) == 0 or len(second) == 0:
+                half = len(indices) // 2
+                order = np.argsort(pos, kind="stable")
+                indices = indices[order]
+                first, second = indices[:half], indices[half:]
+
+        pos = len(out_size)
+        out_min.append(lo)
+        out_max.append(hi)
+        out_size.append(-1)  # patched later
+        out_prim.append(-1)
+        stack.append(("patch", pos))
+        stack.append(("node", second))
+        stack.append(("node", first))
+
+    return FlatBvh(
+        bbox_min=np.asarray(out_min, np.float32),
+        bbox_max=np.asarray(out_max, np.float32),
+        subtree_size=np.asarray(out_size, np.int32),
+        prim_index=np.asarray(out_prim, np.int32),
+    )
+
+
+def aabb_entry_distance(bbox_min, bbox_max, origin, inv_dir):
+    """Slab test (reference math.rs:184-207): returns (hit, entry_distance)."""
+    t1 = (bbox_min - origin) * inv_dir
+    t2 = (bbox_max - origin) * inv_dir
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= tmin) & (tmax >= 0.0)
+    return hit, jnp.maximum(tmin, 0.0)
+
+
+def traverse(bvh_arrays, origin, direction, intersect_prim, init_best, max_nodes):
+    """Traverse the flattened BVH for a batch of rays.
+
+    ``bvh_arrays``: dict of jnp arrays (bbox_min, bbox_max, subtree_size,
+    prim_index). ``intersect_prim(prim_idx, origin, direction, state) ->
+    state`` intersects one primitive per ray and updates per-ray hit state;
+    state must contain key 't' (current best distance) for pruning.
+    ``init_best``: initial state pytree (per-ray leading dim).
+    ``max_nodes``: static node count (loop bound).
+    """
+    bbox_min = bvh_arrays["bbox_min"]
+    bbox_max = bvh_arrays["bbox_max"]
+    subtree_size = bvh_arrays["subtree_size"]
+    prim_index = bvh_arrays["prim_index"]
+
+    if max_nodes == 0:
+        return init_best
+
+    inv_dir = 1.0 / direction
+
+    def per_ray(o, d, inv_d, state):
+        def cond(carry):
+            cursor, _ = carry
+            return cursor < max_nodes
+
+        def body(carry):
+            cursor, state = carry
+            node_lo = bbox_min[cursor]
+            node_hi = bbox_max[cursor]
+            size = subtree_size[cursor]
+            prim = prim_index[cursor]
+
+            hit, entry = aabb_entry_distance(node_lo, node_hi, o, inv_d)
+            useful = hit & (entry < state["t"])
+
+            is_leaf = prim >= 0
+
+            def test_leaf(state):
+                return intersect_prim(prim, o, d, state)
+
+            state = jax.lax.cond(
+                useful & is_leaf, test_leaf, lambda s: s, state
+            )
+            # Descend into useful inner nodes; skip subtrees otherwise.
+            step = jnp.where(useful | is_leaf, 1, size + 1)
+            return cursor + step, state
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state
+
+    return jax.vmap(per_ray)(origin, direction, inv_dir, init_best)

@@ -1,0 +1,109 @@
+"""The "simple" renderer: camera paths with next-event estimation.
+
+Reference: renderer/simple.rs. The tile/thread machinery is replaced by a
+wavefront: every chunk traces one stratified sample for every pixel (the
+whole film at once) inside a single jit step with donated film buffers;
+chunks iterate until pixel_samples is reached. Sample distribution matches
+the reference (uniform jitter per pixel, stratified wavelengths with a
+uniformly-chosen hero).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..film import Film
+from ..scene import CameraModel, Scene
+from ..tracer import TraceConfig, trace_paths
+
+
+def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key):
+    """One stratified sample per pixel: positions + primary rays + wavelengths."""
+    h, w = film.height, film.width
+    n = h * w
+    k_pos, k_lens1, k_lens2, k_wl, k_hero = jax.random.split(key, 5)
+
+    py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    jitter = jax.random.uniform(k_pos, (n, 2))
+    pxf = px.reshape(-1) + jitter[:, 0]
+    pyf = py.reshape(-1) + jitter[:, 1]
+    positions = film.pixel_to_view(pxf, pyf)
+
+    origin, direction = camera.ray_towards(
+        positions,
+        jax.random.uniform(k_lens1, (n,)),
+        jax.random.uniform(k_lens2, (n,)),
+    )
+
+    s = cfg.spectrum_samples
+    wavelengths = film.sample_wavelengths(jax.random.uniform(k_wl, (n, s)))
+    # hero selection: swap a uniformly-chosen column into slot 0
+    hero = jax.random.randint(k_hero, (n,), 0, s)
+    cols = jnp.arange(s)[None, :]
+    take = jnp.where(cols == 0, hero[:, None], jnp.where(cols == hero[:, None], 0, cols))
+    wavelengths = jnp.take_along_axis(wavelengths, take, axis=1)
+
+    return positions, origin, direction, wavelengths
+
+
+def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig):
+    """Build the jitted one-sample-per-pixel accumulation step."""
+
+    def step(acc, wt, key):
+        positions, origin, direction, wavelengths = chunk_rays(film, camera, cfg, key)
+        k_trace = jax.random.fold_in(key, 7)
+        brightness, aux_alive = trace_paths(
+            scene, cfg, k_trace, origin, direction, wavelengths
+        )
+        n, s = brightness.shape
+        mask = jnp.concatenate(
+            [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s - 1))],
+            axis=1,
+        )
+        weights = jnp.ones_like(brightness)
+        return film.expose(acc, wt, positions, wavelengths, brightness, weights, mask)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+@dataclass
+class RenderProgress:
+    sample: int
+    total: int
+    acc: object
+    wt: object
+    film: object
+
+
+def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None):
+    """Render the project with the simple algorithm; returns (film, acc, wt)."""
+    project = project_data.project
+    settings = project.renderer
+    film = Film(
+        width=project.image.width,
+        height=project.image.height,
+        bins=settings.spectrum_bins,
+        span=settings.spectrum_span,
+    )
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(
+        bounces=settings.bounces,
+        light_samples=settings.light_samples,
+        spectrum_samples=settings.spectrum_samples,
+    )
+    step = make_render_step(scene, film, camera, cfg)
+
+    acc, wt = film.new_buffers()
+    key = jax.random.PRNGKey(seed)
+    total = settings.pixel_samples if max_samples is None else min(
+        settings.pixel_samples, max_samples
+    )
+    for i in range(total):
+        acc, wt = step(acc, wt, jax.random.fold_in(key, i))
+        if on_progress is not None:
+            on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
+    return film, acc, wt

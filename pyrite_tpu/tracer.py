@@ -1,0 +1,957 @@
+"""Wavefront path tracer core.
+
+The reference traces one path per CPU thread to completion with a pointer-
+chasing megakernel (tracer.rs:208-345). Here a whole wavefront of rays is
+advanced one bounce per step inside jit: intersection against the flattened
+scene (planes linear scan + BVH skip-link walk + distance-estimated shapes),
+branchless material component selection and BSDF scattering, next-event
+estimation, and streaming radiance accumulation. The per-bounce contribution
+recurrence reproduces renderer/algorithm.rs:14-100 exactly, but fused into
+the loop (no stored path): emission adds color*probability*throughput,
+reflection multiplies throughput by color*probability then adds direct light
+then multiplies by the BRDF. Auxiliary (non-hero) wavelengths stop updating
+after the first dispersive bounce and are discarded at exposure if any bounce
+dispersed (simple.rs:120-139 semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from . import bvh as bvh_mod
+from . import geometry as geom
+from .exprs import ProgramInputs
+from .scene import (
+    BSDF_DIFFUSE,
+    BSDF_EMISSIVE,
+    BSDF_MIRROR,
+    BSDF_REFRACTIVE,
+    LAMP_DIRECTIONAL,
+    LAMP_POINT,
+    LAMP_SPHERE,
+    LAMP_TRIANGLE,
+    PRIM_SPHERE,
+    PRIM_TRIANGLE,
+    Scene,
+)
+
+DIST_EPSILON = geom.DIST_EPSILON
+
+# hit kinds
+KIND_NONE = 0
+KIND_TRIANGLE = 1
+KIND_SPHERE = 2
+KIND_PLANE = 3
+KIND_DE = 4  # DE shape j encoded as idx=j
+
+
+@dataclass(frozen=True)
+class TraceConfig:
+    bounces: int
+    light_samples: int
+    spectrum_samples: int
+    max_de_steps: int = 200
+
+
+# =============================================================================
+# Intersection
+# =============================================================================
+
+
+def _de_distance(est: dict, p):
+    """Distance estimator evaluation (shapes/distance_estimators.rs)."""
+    if est["kind"] == "mandelbulb":
+        iterations = est["iterations"]
+        threshold = est["threshold"]
+        power = est["power"]
+        constant = est["constant"]
+        dc = 1.0 if constant is None else 0.0
+
+        def body(_, carry):
+            z, r, dr, done = carry
+            r_new = jnp.sqrt(jnp.maximum(geom.dot(z, z), 1e-30))
+            done_now = done | (r_new > threshold)
+            theta = jnp.arccos(jnp.clip(z[..., 2] / r_new, -1.0, 1.0))
+            phi = jnp.arctan2(z[..., 1], z[..., 0])
+            dr_new = r_new ** (power - 1.0) * power * dr + dc
+            zr = r_new ** power
+            theta = theta * power
+            phi = phi * power
+            z_new = (
+                jnp.stack(
+                    [
+                        jnp.sin(theta) * jnp.cos(phi),
+                        jnp.sin(phi) * jnp.sin(theta),
+                        jnp.cos(theta),
+                    ],
+                    axis=-1,
+                )
+                * zr[..., None]
+            )
+            z_new = z_new + (jnp.asarray(constant) if constant is not None else p)
+            keep = ~done_now
+            return (
+                jnp.where(keep[..., None], z_new, z),
+                jnp.where(done, r, r_new),
+                jnp.where(keep, dr_new, dr),
+                done_now,
+            )
+
+        z0 = p
+        r0 = jnp.zeros(p.shape[:-1])
+        dr0 = jnp.ones(p.shape[:-1])
+        done0 = jnp.zeros(p.shape[:-1], bool)
+        z, r, dr, _ = jax.lax.fori_loop(0, iterations, body, (z0, r0, dr0, done0))
+        return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dr
+
+    # quaternion julia: z as (x, y, z, slice) quaternion (w=point coords!)
+    iterations = est["iterations"]
+    threshold = est["threshold"]
+    constant = jnp.asarray(est["constant"])  # (x, y, z, w) from vector
+    variant = est["variant"]
+
+    # cgmath Quaternion::new(s, x, y, z): here z = Quat(point.x, point.y,
+    # point.z, slice) means s=point.x, v=(point.y, point.z, slice).
+    def to_quat(p):
+        s = jnp.broadcast_to(jnp.asarray(est["slice_plane"]), p.shape[:-1])
+        return jnp.concatenate([p, s[..., None]], axis=-1)  # (s=x, v=(y,z,w))
+
+    def qmul(a, b):
+        # quaternion with layout (s, vx, vy, vz) stored as (a0, a1, a2, a3)
+        s1, x1, y1, z1 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        s2, x2, y2, z2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return jnp.stack(
+            [
+                s1 * s2 - x1 * x2 - y1 * y2 - z1 * z2,
+                s1 * x2 + x1 * s2 + y1 * z2 - z1 * y2,
+                s1 * y2 - x1 * z2 + y1 * s2 + z1 * x2,
+                s1 * z2 + x1 * y2 - y1 * x2 + z1 * s2,
+            ],
+            axis=-1,
+        )
+
+    def bicomplex_mul(a, b):
+        x1, y1, z1, w1 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        x2, y2, z2, w2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return jnp.stack(
+            [
+                x1 * x2 - y1 * y2 - z1 * z2 + w1 * w2,
+                x1 * y2 + y1 * x2 - z1 * w2 - w1 * z2,
+                x1 * z2 - y1 * w2 + z1 * x2 - w1 * y2,
+                x1 * w2 + y1 * z2 + z1 * y2 + w1 * x2,
+            ],
+            axis=-1,
+        )
+
+    if variant == "regular":
+        pow_fn = lambda z: qmul(z, z)
+        pow_prim = lambda z, dz: qmul(dz, z) * 2.0
+    elif variant == "cubic":
+        pow_fn = lambda z: qmul(qmul(z, z), z)
+        pow_prim = lambda z, dz: qmul(qmul(dz, z), z) * 3.0
+    else:  # bicomplex
+        pow_fn = lambda z: bicomplex_mul(z, z)
+        pow_prim = lambda z, dz: bicomplex_mul(bicomplex_mul(dz, z), z) * 2.0
+
+    # constant comes from a Vector expression -> cgmath Quaternion via
+    # Quaternion::new(x, y, z, w) = (s=x, v=(y, z, w)); same layout as to_quat.
+    def body(_, carry):
+        z, r, dz, done = carry
+        r_new = jnp.sqrt(jnp.maximum(geom.dot(z, z), 1e-30))
+        done_now = done | (r_new > threshold)
+        dz_new = pow_prim(z, dz)
+        z_new = pow_fn(z) + constant
+        keep = ~done_now
+        return (
+            jnp.where(keep[..., None], z_new, z),
+            jnp.where(done, r, r_new),
+            jnp.where(keep[..., None], dz_new, dz),
+            done_now,
+        )
+
+    z0 = to_quat(p)
+    r0 = jnp.zeros(p.shape[:-1])
+    dz0 = jnp.concatenate(
+        [jnp.ones(p.shape[:-1] + (1,)), jnp.zeros(p.shape[:-1] + (3,))], axis=-1
+    )
+    done0 = jnp.zeros(p.shape[:-1], bool)
+    z, r, dz, _ = jax.lax.fori_loop(0, iterations, body, (z0, r0, dz0, done0))
+    dz_mag = jnp.sqrt(jnp.maximum(geom.dot(dz, dz), 1e-30))
+    return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dz_mag
+
+
+def _intersect_de(shape, origin, direction, max_steps):
+    """Sphere tracing within a bounding volume (shapes/mod.rs:120-155)."""
+    if shape.bounds_kind == "box":
+        center = jnp.asarray((shape.bounds_a + shape.bounds_b) * 0.5)
+        hit, tmin, tmax = geom.ray_aabb_range(
+            origin, direction, jnp.asarray(shape.bounds_a), jnp.asarray(shape.bounds_b)
+        )
+    else:
+        center = jnp.asarray(shape.bounds_a)
+        hit, tmin, tmax = geom.ray_sphere_range(
+            origin, direction, center, float(shape.bounds_b[0])
+        )
+
+    local_origin = origin - center
+
+    def march(carry):
+        total, dist, steps = carry
+        p = local_origin + direction * total[..., None]
+        d = _de_distance(shape.estimator, p)
+        return total + d, d, steps + 1
+
+    def cond(carry):
+        total, dist, steps = carry
+        active = (total < tmax) & (dist >= DIST_EPSILON) & (steps < max_steps)
+        return jnp.any(active & hit)
+
+    # Masked march: lanes that finish keep their values.
+    def body(carry):
+        total, dist, steps = carry
+        active = (total < tmax) & (dist >= DIST_EPSILON) & hit
+        new_total, new_dist, _ = march((total, dist, steps))
+        return (
+            jnp.where(active, new_total, total),
+            jnp.where(active, new_dist, dist),
+            steps + 1,
+        )
+
+    total0 = jnp.where(hit, tmin, jnp.inf)
+    dist0 = jnp.full_like(total0, jnp.inf)
+    total, dist, _ = jax.lax.while_loop(cond, body, (total0, dist0, jnp.int32(0)))
+    ok = hit & (total <= tmax)
+    return ok, jnp.where(ok, total, jnp.inf), local_origin
+
+
+def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
+    """Closest hit for a ray batch. Returns a dict with t, kind, idx, u, v."""
+    n = origin.shape[0]
+    a = scene.arrays
+
+    best = {
+        "t": jnp.full(n, jnp.inf),
+        "kind": jnp.full(n, KIND_NONE, jnp.int32),
+        "idx": jnp.zeros(n, jnp.int32),
+        "u": jnp.zeros(n),
+        "v": jnp.zeros(n),
+    }
+
+    # planes: dense scan (they sit outside the BVH, world.rs:277-285)
+    if scene.num_planes > 0:
+        hit, t = geom.ray_plane(
+            origin[:, None, :],
+            direction[:, None, :],
+            a["pla_normal"][None, :, :],
+            a["pla_d"][None, :],
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        pi = jnp.argmin(t, axis=1)
+        pt = jnp.take_along_axis(t, pi[:, None], axis=1)[:, 0]
+        better = pt < best["t"]
+        best["t"] = jnp.where(better, pt, best["t"])
+        best["kind"] = jnp.where(better, KIND_PLANE, best["kind"])
+        best["idx"] = jnp.where(better, pi.astype(jnp.int32), best["idx"])
+
+    # finite primitives through the BVH
+    if scene.bvh_nodes > 0:
+        tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
+        sph_center, sph_radius = a["sph_center"], a["sph_radius"]
+        prim_kind, prim_ref = a["prim_kind"], a["prim_ref"]
+
+        def intersect_prim(prim, o, d, state):
+            kind = prim_kind[prim]
+            ref = prim_ref[prim]
+            tri_ok, tri_t, u, v = geom.ray_triangle(
+                o, d, tri_v0[ref], tri_e1[ref], tri_e2[ref]
+            )
+            sph_ok, sph_t = geom.ray_sphere(o, d, sph_center[ref], sph_radius[ref])
+            is_tri = kind == PRIM_TRIANGLE
+            ok = jnp.where(is_tri, tri_ok, sph_ok)
+            t = jnp.where(is_tri, tri_t, sph_t)
+            better = ok & (t < state["t"])
+            return {
+                "t": jnp.where(better, t, state["t"]),
+                "kind": jnp.where(
+                    better,
+                    jnp.where(is_tri, KIND_TRIANGLE, KIND_SPHERE),
+                    state["kind"],
+                ),
+                "idx": jnp.where(better, ref, state["idx"]),
+                "u": jnp.where(better, u, state["u"]),
+                "v": jnp.where(better, v, state["v"]),
+            }
+
+        bvh_arrays = {
+            "bbox_min": a["bvh_bbox_min"],
+            "bbox_max": a["bvh_bbox_max"],
+            "subtree_size": a["bvh_subtree"],
+            "prim_index": a["bvh_prim"],
+        }
+        best = bvh_mod.traverse(
+            bvh_arrays, origin, direction, intersect_prim, best, scene.bvh_nodes
+        )
+
+    # distance-estimated shapes (few per scene; marched outside the BVH)
+    for j, shape in enumerate(scene.de_shapes):
+        ok, t, _ = _intersect_de(shape, origin, direction, cfg.max_de_steps)
+        better = ok & (t > DIST_EPSILON) & (t < best["t"])
+        best["t"] = jnp.where(better, t, best["t"])
+        best["kind"] = jnp.where(better, KIND_DE, best["kind"])
+        best["idx"] = jnp.where(better, j, best["idx"])
+
+    return best
+
+
+def surface_data(scene: Scene, hit, origin, direction, cfg: TraceConfig):
+    """Gather per-hit surface attributes, branchless across hit kinds.
+
+    Returns (position, normal, frame_quat, uv, material_id)."""
+    a = scene.arrays
+    t = hit["t"]
+    safe_t = jnp.where(jnp.isfinite(t), t, 0.0)
+    position = origin + direction * safe_t[:, None]
+    kind = hit["kind"]
+    idx = hit["idx"]
+
+    n = origin.shape[0]
+    normal = jnp.zeros((n, 3))
+    quat = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (n, 4))
+    uv = jnp.zeros((n, 2))
+    mat = jnp.zeros(n, jnp.int32)
+
+    # triangles
+    u = hit["u"][:, None]
+    v = hit["v"][:, None]
+    w = 1.0 - hit["u"] - hit["v"]
+    tn = a["tri_n"][idx]  # [N, 3, 3]
+    tq = a["tri_q"][idx]  # [N, 3, 4]
+    tuv = a["tri_uv"][idx]  # [N, 3, 2]
+    tri_normal = geom.normalize(tn[:, 0] * w[:, None] + tn[:, 1] * u + tn[:, 2] * v)
+    tri_quat = geom.quat_normalize(tq[:, 0] * w[:, None] + tq[:, 1] * u + tq[:, 2] * v)
+    tri_uv_i = tuv[:, 0] * w[:, None] + tuv[:, 1] * u + tuv[:, 2] * v
+    is_tri = (kind == KIND_TRIANGLE)[:, None]
+    normal = jnp.where(is_tri, tri_normal, normal)
+    quat = jnp.where(is_tri, tri_quat, quat)
+    uv = jnp.where(is_tri, tri_uv_i, uv)
+    mat = jnp.where(kind == KIND_TRIANGLE, a["tri_mat"][idx], mat)
+
+    # spheres
+    s_center = a["sph_center"][idx]
+    s_scale = a["sph_texscale"][idx]
+    sph_normal, sph_quat, sph_uv = geom.sphere_surface_frame(position, s_center, s_scale)
+    is_sph = (kind == KIND_SPHERE)[:, None]
+    normal = jnp.where(is_sph, sph_normal, normal)
+    quat = jnp.where(is_sph, sph_quat, quat)
+    uv = jnp.where(is_sph, sph_uv, uv)
+    mat = jnp.where(kind == KIND_SPHERE, a["sph_mat"][idx], mat)
+
+    # planes
+    p_norm = a["pla_normal"][idx]
+    p_quat = a["pla_quat"][idx]
+    p_uv = geom.plane_uv(position, p_quat, a["pla_texscale"][idx])
+    is_pla = (kind == KIND_PLANE)[:, None]
+    normal = jnp.where(is_pla, p_norm, normal)
+    quat = jnp.where(is_pla, p_quat, quat)
+    uv = jnp.where(is_pla, p_uv, uv)
+    mat = jnp.where(kind == KIND_PLANE, a["pla_mat"][idx], mat)
+
+    # distance-estimated shapes: central-difference normals
+    for j, shape in enumerate(scene.de_shapes):
+        sel = kind == KIND_DE
+        sel &= idx == j
+        if shape.bounds_kind == "box":
+            center = jnp.asarray((shape.bounds_a + shape.bounds_b) * 0.5)
+        else:
+            center = jnp.asarray(shape.bounds_a)
+        # offset position just off the surface (shapes/mod.rs:138)
+        local = (origin - center) + direction * (safe_t - DIST_EPSILON)[:, None]
+        eps = DIST_EPSILON
+
+        def dgrad(axis):
+            offs = jnp.zeros((1, 3)).at[0, axis].set(eps)
+            return _de_distance(shape.estimator, local + offs) - _de_distance(
+                shape.estimator, local - offs
+            )
+
+        de_n = geom.normalize(jnp.stack([dgrad(0), dgrad(1), dgrad(2)], axis=-1))
+        de_q = geom.de_normal_quat(de_n)
+        normal = jnp.where(sel[:, None], de_n, normal)
+        quat = jnp.where(sel[:, None], de_q, quat)
+        mat = jnp.where(sel, shape.material_id, mat)
+
+    return position, normal, quat, uv, mat
+
+
+# =============================================================================
+# Program banks
+# =============================================================================
+
+
+def eval_color_bank(scene: Scene, prog_id, inputs: ProgramInputs, active=None):
+    """Evaluate per-ray color programs: out[i] = program[prog_id[i]](inputs)."""
+    out = jnp.zeros(inputs.wavelength.shape)
+    for p, prog in enumerate(scene.color_programs):
+        mask = prog_id == p
+        if active is not None:
+            mask &= active
+        val = prog(inputs)
+        out = out + jnp.where(mask[:, None], jnp.broadcast_to(val, out.shape), 0.0)
+    return out
+
+
+def eval_prob_bank(scene: Scene, prog_id, inputs: ProgramInputs, active=None):
+    """Evaluate per-ray probability programs at the hero wavelength -> [N]."""
+    n = inputs.wavelength.shape[0]
+    out = jnp.ones(n)  # missing program (-1) means probability 1
+    hero_inputs = ProgramInputs(
+        wavelength=inputs.wavelength[:, :1],
+        normal=inputs.normal,
+        incident=inputs.incident,
+        uv=inputs.uv,
+    )
+    for p, prog in enumerate(scene.prob_programs):
+        mask = prog_id == p
+        if active is not None:
+            mask &= active
+        val = prog(hero_inputs)
+        val = jnp.broadcast_to(val, (n, 1))[:, 0]
+        out = jnp.where(mask, val, out)
+    return out
+
+
+def apply_normal_maps(scene: Scene, mat_id, normal, quat, inputs: ProgramInputs):
+    """Material normal mapping (materials/mod.rs:68-81)."""
+    if not scene.normal_programs:
+        return normal
+    prog_id = scene.arrays["mat_normal_prog"][mat_id]
+    out = normal
+    for p, prog in enumerate(scene.normal_programs):
+        mask = (prog_id == p)[:, None]
+        vec = prog(inputs)  # [N, 4] or broadcastable
+        vec = jnp.broadcast_to(vec, (normal.shape[0], 4))[:, :3]
+        mapped = geom.normalize(geom.quat_rotate(quat, vec))
+        out = jnp.where(mask, mapped, out)
+    return out
+
+
+# =============================================================================
+# BSDF scattering (materials/{diffuse,mirror,refractive}.rs)
+# =============================================================================
+
+
+def scatter(scene: Scene, comp_idx, direction, normal, hero_wl, u):
+    """Branchless scatter across all BSDF types.
+
+    ``u``: [N, 3] uniforms. Returns dict with out_dir, probability, dispersed,
+    is_specular, is_diffuse, is_emissive."""
+    a = scene.arrays
+    bsdf = a["comp_bsdf"][comp_idx]
+
+    d_dot_n = geom.dot(direction, normal)
+    flipped = jnp.where((d_dot_n < 0.0)[:, None], normal, -normal)
+
+    # diffuse
+    diff_out = geom.sample_hemisphere(u[:, 0], u[:, 1], flipped)
+
+    # mirror
+    mirror_out = direction - flipped * (2.0 * geom.dot(direction, flipped))[:, None]
+
+    # refractive (refractive.rs:46-91); wavelength in micrometres for Cauchy
+    wl = hero_wl * 0.001
+    ior = a["comp_ior"][comp_idx] + a["comp_disp"][comp_idx] / (wl * wl)
+    env_ior = a["comp_env_ior"][comp_idx] + a["comp_env_disp"][comp_idx] / (wl * wl)
+    refr_dispersed = (a["comp_disp"][comp_idx] != 0.0) | (
+        a["comp_env_disp"][comp_idx] != 0.0
+    )
+
+    nl = flipped
+    n_dot_d = geom.dot(normal, direction)
+    reflected = direction - normal * (2.0 * n_dot_d)[:, None]
+    into = geom.dot(normal, nl) > 0.0
+    nnt = jnp.where(into, env_ior / ior, ior / env_ior)
+    ddn = geom.dot(direction, nl)
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    s_sign = jnp.where(into, 1.0, -1.0)
+    s_val = s_sign * (ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0)))
+    tdir = geom.normalize(direction * nnt[:, None] - normal * s_val[:, None])
+    a_ = ior - env_ior
+    b_ = ior + env_ior
+    r0 = (a_ * a_) / (b_ * b_)
+    c_ = 1.0 - jnp.where(into, -ddn, geom.dot(tdir, normal))
+    re = r0 + (1.0 - r0) * c_ ** 5
+    tr = 1.0 - re
+    p_refl = 0.25 + 0.5 * re
+    pick_reflect = u[:, 2] < p_refl
+    refr_out = jnp.where(
+        (tir | pick_reflect)[:, None], reflected, tdir
+    )
+    refr_prob = jnp.where(
+        tir, 1.0, jnp.where(pick_reflect, re / p_refl, tr / (1.0 - p_refl))
+    )
+
+    is_diffuse = bsdf == BSDF_DIFFUSE
+    is_mirror = bsdf == BSDF_MIRROR
+    is_refr = bsdf == BSDF_REFRACTIVE
+    is_emissive = bsdf == BSDF_EMISSIVE
+
+    out_dir = jnp.where(
+        is_diffuse[:, None],
+        diff_out,
+        jnp.where(is_mirror[:, None], mirror_out, refr_out),
+    )
+    probability = jnp.where(is_refr, refr_prob, 1.0)
+    dispersed = is_refr & refr_dispersed
+    is_specular = is_mirror | is_refr
+
+    return {
+        "out_dir": out_dir,
+        "probability": probability,
+        "dispersed": dispersed,
+        "is_specular": is_specular,
+        "is_diffuse": is_diffuse,
+        "is_emissive": is_emissive,
+    }
+
+
+def brdf_value(normal, out_dir, is_diffuse):
+    """Lambertian 2|n.out| for diffuse bounces, 1 for specular
+    (diffuse.rs:27-29, tracer.rs:176-182)."""
+    return jnp.where(is_diffuse, 2.0 * jnp.abs(geom.dot(normal, out_dir)), 1.0)
+
+
+# =============================================================================
+# Next-event estimation (tracer.rs:347-442) and lamp sampling (lamp.rs:23-82)
+# =============================================================================
+
+
+def _triangle_area(e1, e2):
+    c = jnp.cross(e1, e2)
+    return 0.5 * jnp.sqrt(jnp.maximum(geom.dot(c, c), 0.0))
+
+
+def sample_lamp(scene: Scene, lamp_idx, target, u):
+    """Sample one lamp toward ``target`` (lamp.rs:23-82), branchless over
+    lamp types. ``u``: [N, 4] uniforms.
+
+    Returns dict: direction, sq_distance (inf when directional), weight,
+    has_physical_surface, surface normal/uv, surface material id (for
+    physical lamps), color program id (for color lamps)."""
+    a = scene.arrays
+    ltype = a["lamp_type"][lamp_idx]
+    lvec = a["lamp_vec"][lamp_idx]
+    lwidth = a["lamp_width"][lamp_idx]
+    n = target.shape[0]
+
+    # directional
+    dir_dir = jnp.where(
+        (lwidth > 0.0)[:, None],
+        geom.sample_cone(u[:, 0], u[:, 1], lvec, lwidth),
+        lvec,
+    )
+
+    # point
+    v_pt = lvec - target
+    pt_sqd = geom.dot(v_pt, v_pt)
+    pt_dir = geom.normalize(v_pt)
+    pt_weight = 4.0 * jnp.pi / jnp.maximum(pt_sqd, 1e-20)
+
+    # sphere shape (shapes/mod.rs:209-271)
+    ref = jnp.maximum(a["lamp_ref"][lamp_idx], 0)
+    s_center = a["sph_center"][ref]
+    s_radius_full = a["sph_radius"][ref]
+    s_radius = jnp.maximum(s_radius_full - DIST_EPSILON, 0.0)
+    dir_to_c = s_center - target
+    dist2 = geom.dot(dir_to_c, dir_to_c)
+    outside = dist2 > s_radius * s_radius
+    cos_theta_max = jnp.sqrt(jnp.maximum(1.0 - (s_radius * s_radius) / jnp.maximum(dist2, 1e-20), 0.0))
+    cone_dir = geom.sample_cone(u[:, 0], u[:, 1], geom.normalize(dir_to_c), cos_theta_max)
+    cone_hit, cone_t = geom.ray_sphere(target, cone_dir, s_center, s_radius)
+    cone_t = jnp.where(cone_hit, cone_t, 0.0)  # the reference's "cheat" fallback
+    sph_point_out = target + cone_dir * cone_t[:, None]
+    # inside: uniform surface point (full radius)
+    unit = geom.sample_sphere(u[:, 0], u[:, 1])
+    sph_point_in = s_center + unit * s_radius_full[:, None]
+    sph_point = jnp.where(outside[:, None], sph_point_out, sph_point_in)
+    sph_v = sph_point - target
+    sph_sqd_in = geom.dot(sph_v, sph_v)
+    sph_sqd = jnp.where(outside, cone_t * cone_t, sph_sqd_in)
+    sph_dir = jnp.where(outside[:, None], cone_dir, geom.normalize(sph_v))
+    # solid_angle_towards uses the full radius (shapes/mod.rs:253-271)
+    cos_full = jnp.sqrt(
+        jnp.maximum(1.0 - (s_radius_full * s_radius_full) / jnp.maximum(dist2, 1e-20), 0.0)
+    )
+    sph_normal, sph_quat, sph_uv = geom.sphere_surface_frame(
+        sph_point, s_center, a["sph_texscale"][ref]
+    )
+    sph_area = s_radius_full * s_radius_full * 4.0 * jnp.pi
+    cos_in_sph = jnp.abs(geom.dot(sph_normal, -sph_dir))
+    sph_weight = jnp.where(
+        dist2 > s_radius_full * s_radius_full,
+        geom.solid_angle(cos_full),
+        cos_in_sph * sph_area / jnp.maximum(sph_sqd, 1e-20),
+    )
+
+    # triangle shape: uniform point (shapes/mod.rs:180-207)
+    t_v0 = a["tri_v0"][ref]
+    t_e1 = a["tri_e1"][ref]
+    t_e2 = a["tri_e2"][ref]
+    tu = u[:, 0]
+    tv = u[:, 1]
+    fold = tu + tv > 1.0
+    tu = jnp.where(fold, 1.0 - tu, tu)
+    tv = jnp.where(fold, 1.0 - tv, tv)
+    tri_point = t_v0 + t_e1 * tu[:, None] + t_e2 * tv[:, None]
+    tri_v = tri_point - target
+    tri_sqd = geom.dot(tri_v, tri_v)
+    tri_dir = geom.normalize(tri_v)
+    tw = 1.0 - tu - tv
+    tn = a["tri_n"][ref]
+    tq_uv = a["tri_uv"][ref]
+    tri_normal = geom.normalize(
+        tn[:, 0] * tw[:, None] + tn[:, 1] * tu[:, None] + tn[:, 2] * tv[:, None]
+    )
+    tri_uv_i = tq_uv[:, 0] * tw[:, None] + tq_uv[:, 1] * tu[:, None] + tq_uv[:, 2] * tv[:, None]
+    tri_area = _triangle_area(t_e1, t_e2)
+    cos_in_tri = jnp.abs(geom.dot(tri_normal, -tri_dir))
+    tri_weight = cos_in_tri * tri_area / jnp.maximum(tri_sqd, 1e-20)
+
+    is_dir = ltype == LAMP_DIRECTIONAL
+    is_pt = ltype == LAMP_POINT
+    is_sph = ltype == LAMP_SPHERE
+    is_tri = ltype == LAMP_TRIANGLE
+    is_shape = is_sph | is_tri
+
+    direction = jnp.where(
+        is_dir[:, None],
+        dir_dir,
+        jnp.where(is_pt[:, None], pt_dir, jnp.where(is_sph[:, None], sph_dir, tri_dir)),
+    )
+    sq_distance = jnp.where(
+        is_dir, jnp.inf, jnp.where(is_pt, pt_sqd, jnp.where(is_sph, sph_sqd, tri_sqd))
+    )
+    weight = jnp.where(
+        is_dir, 1.0, jnp.where(is_pt, pt_weight, jnp.where(is_sph, sph_weight, tri_weight))
+    )
+    surf_normal = jnp.where(is_sph[:, None], sph_normal, tri_normal)
+    surf_uv = jnp.where(is_sph[:, None], sph_uv, tri_uv_i)
+    surf_mat = jnp.where(is_sph, a["sph_mat"][ref], a["tri_mat"][ref])
+    return {
+        "direction": direction,
+        "sq_distance": sq_distance,
+        "weight": weight,
+        "is_shape": is_shape,
+        "is_directional": is_dir,
+        "surf_normal": surf_normal,
+        "surf_uv": surf_uv,
+        "surf_mat": surf_mat,
+        "color_prog": a["lamp_color"][lamp_idx],
+    }
+
+
+def choose_emissive(scene: Scene, mat_id, u):
+    """Uniformly pick an emissive component of a material
+    (materials/mod.rs:56-62). Returns (component index, selection comp)."""
+    a = scene.arrays
+    count = jnp.maximum(a["mat_emis_count"][mat_id], 1)
+    pick = jnp.minimum((u * count).astype(jnp.int32), count - 1)
+    eidx = a["mat_emis_offset"][mat_id] + pick
+    return a["emis_comp"][eidx], a["emis_selection"][eidx]
+
+
+def trace_direct(
+    scene: Scene,
+    cfg: TraceConfig,
+    key,
+    active,
+    position,
+    normal,
+    ray_in,
+    wavelengths,
+    reflectance,
+    aux_alive,
+):
+    """Direct-light (NEE) contribution for the current bounce.
+
+    Returns brightness delta [N, S]. ``reflectance`` is the throughput
+    *after* the surface color multiply, matching contribute()'s ordering."""
+    n = position.shape[0]
+    delta = jnp.zeros_like(reflectance)
+    if scene.num_lamps == 0 or cfg.light_samples == 0:
+        return delta
+
+    k_pick, key = jax.random.split(key)
+    lamp_idx = jax.random.randint(k_pick, (n,), 0, scene.num_lamps)
+    pick_prob = 1.0 / scene.num_lamps
+    probability = 1.0 / (cfg.light_samples * 2.0 * jnp.pi * pick_prob)
+
+    flip = jnp.where((geom.dot(ray_in, normal) < 0.0)[:, None], normal, -normal)
+
+    for s in range(cfg.light_samples):
+        k_s = jax.random.fold_in(key, s)
+        u = jax.random.uniform(k_s, (n, 4))
+        k_e = jax.random.fold_in(k_s, 1)
+        samp = sample_lamp(scene, lamp_idx, position, u)
+
+        cos_out = jnp.maximum(geom.dot(flip, samp["direction"]), 0.0)
+        contributes = active & (cos_out > 0.0)
+
+        # shadow ray
+        hit = intersect_scene(scene, position, samp["direction"], cfg)
+        hit_sq = hit["t"] * hit["t"]
+        has_hit = hit["kind"] != KIND_NONE
+        blocked = jnp.where(
+            jnp.isinf(samp["sq_distance"]),
+            has_hit,
+            has_hit & (hit_sq < samp["sq_distance"] - DIST_EPSILON),
+        )
+        contributes &= ~blocked
+
+        # emissive surface sampling on physical lamps
+        e_comp, e_sel = choose_emissive(
+            scene, samp["surf_mat"], jax.random.uniform(k_e, (n,))
+        )
+        target_normal = jnp.where(
+            samp["is_shape"][:, None], samp["surf_normal"], -samp["direction"]
+        )
+        prob_inputs = ProgramInputs(
+            wavelength=wavelengths,
+            normal=target_normal,
+            incident=samp["direction"],
+            uv=samp["surf_uv"],
+        )
+        mat_prob = eval_prob_bank(
+            scene, scene.arrays["comp_prob"][e_comp], prob_inputs, active=contributes
+        ) * e_sel
+        mat_prob = jnp.where(samp["is_shape"], mat_prob, 1.0)
+        l_dispersed = jnp.where(
+            samp["is_shape"], scene.arrays["comp_prob_uses_wl"][e_comp], False
+        )
+
+        color_prog = jnp.where(
+            samp["is_shape"], scene.arrays["comp_color"][e_comp], samp["color_prog"]
+        )
+        l_color = eval_color_bank(scene, color_prog, prob_inputs, active=contributes)
+
+        brdf = 2.0 * jnp.abs(geom.dot(flip, samp["direction"]))
+        scale = samp["weight"] * probability * brdf
+        l_prob = scale * mat_prob
+
+        contrib = l_color * (l_prob)[:, None] * reflectance
+        # hero always contributes; auxiliaries only while alive and when the
+        # lamp's material probability didn't read the wavelength
+        col_mask = jnp.concatenate(
+            [
+                jnp.ones((n, 1), bool),
+                jnp.broadcast_to(
+                    (aux_alive & ~l_dispersed)[:, None],
+                    (n, reflectance.shape[1] - 1),
+                ),
+            ],
+            axis=1,
+        )
+        delta = delta + jnp.where(
+            contributes[:, None] & col_mask, contrib, 0.0
+        )
+
+    return delta
+
+
+# =============================================================================
+# The fused simple-renderer bounce loop (simple.rs + algorithm.rs, streaming)
+# =============================================================================
+
+
+def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, wavelengths):
+    """Trace a wavefront to completion and return per-sample radiance.
+
+    ``wavelengths``: [N, S] with the hero at column 0.
+    Returns (brightness [N, S], aux_alive [N])."""
+    n = origin.shape[0]
+    s_count = wavelengths.shape[1]
+
+    state = {
+        "origin": origin,
+        "direction": direction,
+        "brightness": jnp.zeros((n, s_count)),
+        "reflectance": jnp.ones((n, s_count)),
+        "alive": jnp.ones(n, bool),
+        "aux_alive": jnp.ones(n, bool),
+        "sample_light": jnp.ones(n, bool),
+        "light_events": jnp.zeros(n, jnp.int32),
+    }
+
+    a = scene.arrays
+
+    def bounce_step(state, bounce_key):
+        alive = state["alive"]
+        o = state["origin"]
+        d = state["direction"]
+
+        hit = intersect_scene(scene, o, d, cfg)
+        found = hit["kind"] != KIND_NONE
+
+        position, normal_geo, quat, uv, mat_id = surface_data(scene, hit, o, d, cfg)
+
+        # ---- miss: directional lamps then sky (tracer.rs:322-342) ----------
+        miss = alive & ~found
+        sky_inputs = ProgramInputs(
+            wavelength=wavelengths, normal=-d, incident=d, uv=jnp.zeros((n, 2))
+        )
+        miss_color = jnp.broadcast_to(
+            scene.sky_program(sky_inputs), (n, s_count)
+        )
+        if scene.directional_lamps:
+            # check directional lamps: first whose direction.dot(ray) >= width
+            taken = jnp.zeros(n, bool)
+            dir_color = jnp.zeros((n, s_count))
+            for lamp_dir, width, color_prog in scene.directional_lamps:
+                lamp_dir = jnp.asarray(lamp_dir)
+                match = (geom.dot(jnp.broadcast_to(lamp_dir, d.shape), d) >= width) & ~taken
+                val = scene.color_programs[color_prog](sky_inputs)
+                dir_color = dir_color + jnp.where(
+                    match[:, None], jnp.broadcast_to(val, (n, s_count)), 0.0
+                )
+                taken |= match
+            use_dir = state["sample_light"] & taken
+            miss_color = jnp.where(use_dir[:, None], dir_color, miss_color)
+
+        aux_cols = jnp.concatenate(
+            [jnp.ones((n, 1), bool), jnp.broadcast_to(state["aux_alive"][:, None], (n, s_count - 1))],
+            axis=1,
+        )
+        brightness = state["brightness"] + jnp.where(
+            miss[:, None] & aux_cols, miss_color * state["reflectance"], 0.0
+        )
+
+        # ---- hit: material interaction -------------------------------------
+        hit_active = alive & found
+        k_nm, k_comp, k_scatter, k_nee = jax.random.split(bounce_key, 4)
+
+        nm_inputs = ProgramInputs(
+            wavelength=wavelengths, normal=normal_geo, incident=d, uv=uv
+        )
+        normal = apply_normal_maps(scene, mat_id, normal_geo, quat, nm_inputs)
+
+        # uniform component choice (materials/mod.rs:48-54)
+        count = jnp.maximum(a["mat_comp_count"][mat_id], 1)
+        pick = jnp.minimum(
+            (jax.random.uniform(k_comp, (n,)) * count).astype(jnp.int32), count - 1
+        )
+        comp = a["mat_comp_offset"][mat_id] + pick
+
+        prob_inputs = ProgramInputs(
+            wavelength=wavelengths, normal=normal, incident=d, uv=uv
+        )
+        comp_probability = eval_prob_bank(
+            scene, a["comp_prob"][comp], prob_inputs, active=hit_active
+        ) * a["comp_selection"][comp]
+        normal_dispersed = a["comp_prob_uses_wl"][comp]
+
+        sc = scatter(
+            scene, comp, d, normal, wavelengths[:, 0], jax.random.uniform(k_scatter, (n, 3))
+        )
+
+        emitted = hit_active & sc["is_emissive"]
+        reflected = hit_active & ~sc["is_emissive"]
+
+        # --- emission (contribute() emission branch) -------------------------
+        emit_now = emitted & state["sample_light"]
+        aux_emit = jnp.concatenate(
+            [
+                jnp.ones((n, 1), bool),
+                jnp.broadcast_to(
+                    (state["aux_alive"] & ~normal_dispersed)[:, None], (n, s_count - 1)
+                ),
+            ],
+            axis=1,
+        )
+        emit_color = eval_color_bank(
+            scene, a["comp_color"][comp], prob_inputs, active=emit_now
+        )
+        brightness = brightness + jnp.where(
+            emit_now[:, None] & aux_emit,
+            emit_color * comp_probability[:, None] * state["reflectance"],
+            0.0,
+        )
+
+        # --- reflection ------------------------------------------------------
+        bounce_dispersed = sc["dispersed"] | normal_dispersed
+        aux_alive = state["aux_alive"] & jnp.where(reflected, ~bounce_dispersed, True)
+        aux_ref_cols = jnp.concatenate(
+            [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s_count - 1))],
+            axis=1,
+        )
+
+        refl_color = eval_color_bank(
+            scene, a["comp_color"][comp], prob_inputs, active=reflected
+        )
+        path_prob = sc["probability"] * comp_probability
+        reflectance = jnp.where(
+            reflected[:, None] & aux_ref_cols,
+            state["reflectance"] * refl_color * path_prob[:, None],
+            state["reflectance"],
+        )
+
+        # --- next-event estimation (only first 2 diffuse events) -------------
+        nee_now = reflected & sc["is_diffuse"] & (state["light_events"] < 2)
+        if cfg.light_samples > 0:
+            delta = trace_direct(
+                scene,
+                cfg,
+                k_nee,
+                nee_now,
+                position,
+                normal,
+                d,
+                wavelengths,
+                reflectance,
+                aux_alive,
+            )
+            brightness = brightness + delta
+        light_events = state["light_events"] + jnp.where(
+            reflected & sc["is_diffuse"] & (state["light_events"] < 2), 1, 0
+        )
+        # sample_light for the *next* bounce (tracer.rs:257-279)
+        sample_light = jnp.where(
+            reflected,
+            jnp.where(
+                state["light_events"] < 2,
+                sc["is_specular"] | (cfg.light_samples == 0),
+                True,
+            ),
+            state["sample_light"],
+        )
+
+        # --- apply BRDF and continue the path ---------------------------------
+        brdf = brdf_value(normal, sc["out_dir"], sc["is_diffuse"])
+        reflectance = jnp.where(
+            reflected[:, None] & aux_ref_cols, reflectance * brdf[:, None], reflectance
+        )
+
+        new_origin = jnp.where(reflected[:, None], position, o)
+        new_direction = jnp.where(reflected[:, None], sc["out_dir"], d)
+        alive_next = alive & reflected
+
+        return {
+            "origin": new_origin,
+            "direction": new_direction,
+            "brightness": brightness,
+            "reflectance": reflectance,
+            "alive": alive_next,
+            "aux_alive": aux_alive,
+            "sample_light": sample_light,
+            "light_events": light_events,
+        }
+
+    keys = jax.random.split(key, cfg.bounces)
+
+    def scan_body(state, bounce_key):
+        return bounce_step(state, bounce_key), None
+
+    state, _ = jax.lax.scan(scan_body, state, keys)
+    return state["brightness"], state["aux_alive"]

@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from pyrite_tpu import geometry as geom
+from pyrite_tpu import bvh as bvh_mod
+
+
+def test_ray_triangle_hit_and_miss():
+    o = np.array([[0.0, 0.0, -1.0]])
+    d = np.array([[0.0, 0.0, 1.0]])
+    v0 = np.array([[-1.0, -1.0, 0.0]])
+    e1 = np.array([[2.0, 0.0, 0.0]])
+    e2 = np.array([[0.0, 2.0, 0.0]])
+    hit, t, u, v = geom.ray_triangle(o, d, v0, e1, e2)
+    assert bool(hit[0])
+    assert float(t[0]) == pytest.approx(1.0, abs=1e-5)
+    # barycentric of the center
+    assert float(u[0]) == pytest.approx(0.5, abs=1e-5)
+    assert float(v[0]) == pytest.approx(0.5, abs=1e-5)
+
+    o2 = np.array([[5.0, 5.0, -1.0]])
+    hit2, t2, _, _ = geom.ray_triangle(o2, d, v0, e1, e2)
+    assert not bool(hit2[0])
+    assert np.isinf(float(t2[0]))
+
+
+def test_ray_sphere_outside_and_inside():
+    c = np.array([[0.0, 0.0, 5.0]])
+    r = np.array([2.0])
+    o = np.array([[0.0, 0.0, 0.0]])
+    d = np.array([[0.0, 0.0, 1.0]])
+    hit, t = geom.ray_sphere(o, d, c, r)
+    assert bool(hit[0]) and float(t[0]) == pytest.approx(3.0, abs=1e-5)
+    # from inside: nearest positive root is the exit
+    o_in = np.array([[0.0, 0.0, 5.0]])
+    hit, t = geom.ray_sphere(o_in, d, c, r)
+    assert bool(hit[0]) and float(t[0]) == pytest.approx(2.0, abs=1e-5)
+
+
+def test_ray_plane():
+    n = np.array([[0.0, 1.0, 0.0]])
+    d_plane = np.array([0.0])
+    o = np.array([[0.0, 3.0, 0.0]])
+    d = np.array([[0.0, -1.0, 0.0]])
+    hit, t = geom.ray_plane(o, d, n, d_plane)
+    assert bool(hit[0]) and float(t[0]) == pytest.approx(3.0, abs=1e-5)
+    # parallel ray misses
+    d_par = np.array([[1.0, 0.0, 0.0]])
+    hit, _ = geom.ray_plane(o, d_par, n, d_plane)
+    assert not bool(hit[0])
+
+
+def test_quat_roundtrip_rotation():
+    rng = np.random.default_rng(1)
+    # random orthonormal frame
+    x = rng.normal(size=3)
+    x /= np.linalg.norm(x)
+    y, z = geom.basis(x[None])
+    y = np.asarray(y[0])
+    z = np.asarray(z[0])
+    q = geom.mat3_cols_to_quat(y[None], z[None], x[None])
+    v = np.array([[0.3, -0.2, 0.9]])
+    rotated = np.asarray(geom.quat_rotate(q, v))
+    expected = (y * 0.3 - z * 0.2 + x * 0.9)[None]
+    np.testing.assert_allclose(rotated, expected, atol=1e-5)
+    # conjugate inverts
+    back = np.asarray(geom.quat_rotate(geom.quat_conj(q), rotated))
+    np.testing.assert_allclose(back, v, atol=1e-5)
+
+
+def test_sample_hemisphere_respects_direction():
+    rng = np.random.default_rng(2)
+    u = rng.random((64,))
+    v = rng.random((64,))
+    n = np.tile(np.array([[0.0, 1.0, 0.0]]), (64, 1))
+    dirs = np.asarray(geom.sample_hemisphere(u, v, n))
+    assert np.all(np.einsum("nd,nd->n", dirs, n) >= -1e-6)
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-4)
+
+
+def test_bvh_matches_brute_force():
+    import jax.numpy as jnp
+    from pyrite_tpu import geometry
+
+    rng = np.random.default_rng(3)
+    num = 50
+    centers = rng.uniform(-5, 5, size=(num, 3)).astype(np.float32)
+    radii = rng.uniform(0.1, 0.6, size=num).astype(np.float32)
+    lo = centers - radii[:, None]
+    hi = centers + radii[:, None]
+    flat = bvh_mod.build_bvh(lo, hi)
+    assert flat.num_nodes == 2 * num - 1
+    # leaves hold each primitive exactly once
+    leaves = flat.prim_index[flat.prim_index >= 0]
+    assert sorted(leaves.tolist()) == list(range(num))
+
+    n_rays = 32
+    origins = rng.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    c_j = jnp.asarray(centers)
+    r_j = jnp.asarray(radii)
+
+    def intersect_prim(prim, o, d, state):
+        ok, t = geometry.ray_sphere(o, d, c_j[prim], r_j[prim])
+        better = ok & (t < state["t"])
+        return {"t": jnp.where(better, t, state["t"]),
+                "idx": jnp.where(better, prim, state["idx"])}
+
+    arrays = {
+        "bbox_min": jnp.asarray(flat.bbox_min),
+        "bbox_max": jnp.asarray(flat.bbox_max),
+        "subtree_size": jnp.asarray(flat.subtree_size),
+        "prim_index": jnp.asarray(flat.prim_index),
+    }
+    init = {"t": jnp.full(n_rays, jnp.inf), "idx": jnp.full(n_rays, -1)}
+    out = bvh_mod.traverse(arrays, jnp.asarray(origins), jnp.asarray(dirs),
+                           intersect_prim, init, flat.num_nodes)
+
+    # brute force
+    hit_all, t_all = geometry.ray_sphere(
+        origins[:, None, :], dirs[:, None, :], centers[None], radii[None]
+    )
+    t_all = np.where(np.asarray(hit_all), np.asarray(t_all), np.inf)
+    best = t_all.min(axis=1)
+    np.testing.assert_allclose(np.asarray(out["t"]), best, rtol=1e-4)
