@@ -121,3 +121,22 @@ def save_png(path: str, image: np.ndarray):
     from PIL import Image as PILImage
 
     PILImage.fromarray(image, "RGB").save(path)
+
+
+# Raw-sum exposure: callers that pre-aggregate many samples per lane (e.g.
+# BDPT connections, which expose len_cam x len_lamp samples at one pixel)
+# add already-weighted value sums and weight sums directly.
+def expose_sums(film: Film, acc, wt, positions, wavelengths, value_sums, weight_sums, mask):
+    px, py, valid = film.view_to_pixel(positions)
+    bins = film.wavelength_to_bin(wavelengths)
+    flat_pixel = (py * film.width + px)[:, None]
+    index = flat_pixel * film.bins + bins
+    ok = mask & valid[:, None]
+    index = jnp.where(ok, index, -1)
+    acc_flat = acc.reshape(-1).at[index.reshape(-1)].add(
+        jnp.where(ok, value_sums, 0.0).reshape(-1), mode="drop"
+    )
+    wt_flat = wt.reshape(-1).at[index.reshape(-1)].add(
+        jnp.where(ok, weight_sums, 0.0).reshape(-1), mode="drop"
+    )
+    return acc_flat.reshape(acc.shape), wt_flat.reshape(wt.shape)

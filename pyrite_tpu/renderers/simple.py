@@ -21,13 +21,15 @@ from ..scene import CameraModel, Scene
 from ..tracer import TraceConfig, trace_paths
 
 
-def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key):
-    """One stratified sample per pixel: positions + primary rays + wavelengths."""
+def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, rows=None):
+    """One stratified sample per pixel of a row window: positions, primary
+    rays, and hero-ordered wavelengths."""
     h, w = film.height, film.width
-    n = h * w
+    rows = h if rows is None else rows
+    n = rows * w
     k_pos, k_lens1, k_lens2, k_wl, k_hero = jax.random.split(key, 5)
 
-    py, px = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    py, px = jnp.meshgrid(row0 + jnp.arange(rows), jnp.arange(w), indexing="ij")
     jitter = jax.random.uniform(k_pos, (n, 2))
     pxf = px.reshape(-1) + jitter[:, 0]
     pyf = py.reshape(-1) + jitter[:, 1]

@@ -149,10 +149,17 @@ class Scene:
         self.directional_lamps: list = []
         self.sky_program: Optional[exprs.CompiledProgram] = None
         self.num_lamps = 0
+        self.lamp_types = set()
         self.num_planes = 0
+        self.num_triangles = 0
+        self.num_spheres = 0
         self.num_materials = 0
         self.max_components = 1
         self.bvh_nodes = 0
+
+    @property
+    def num_primitives(self):
+        return self.num_triangles + self.num_spheres
 
 
 def _look_at_matrix(look: ir.LookAt) -> np.ndarray:
@@ -594,7 +601,10 @@ def build_scene(project_data) -> Scene:
     a["lamp_color"] = pad1(lamp_color, np.int32, -1)
     scene.num_lamps = len(lamp_type)
     scene.num_materials = len(mat_comp_offset)
+    scene.num_triangles = num_tris
+    scene.num_spheres = num_sph
     scene.max_components = max([1] + mat_comp_count)
+    scene.lamp_types = set(lamp_type)
     # host-side list of directional lamps for the miss path (tracer.rs:444-459)
     scene.directional_lamps = [
         (np.asarray(lamp_vec[i], np.float32), float(lamp_width[i]), int(lamp_color[i]))
@@ -653,3 +663,43 @@ class CameraModel:
         world_origin = origin @ m[:3, :3].T + m[:3, 3]
         world_dir = direction @ m[:3, :3].T
         return world_origin, world_dir
+
+
+def camera_inverse_project(camera: CameraModel, targets, u1, u2):
+    """Project world points back through the lens to film coordinates
+    (cameras.rs:99-158 is_visible, minus the world occlusion test).
+
+    Returns (view_xy [N, 2], world_origin [N, 3], direction [N, 3],
+    distance [N], ok [N])."""
+    m = jnp.asarray(camera.transform)
+    rot = m[:3, :3]
+    trans = m[:3, 3]
+    # inverse of a rigid transform: R^T, -R^T t
+    local = (targets - trans) @ rot
+    ok = local[:, 2] < 0.0
+
+    if camera.aperture > 0.0:
+        sqrt_r = jnp.sqrt(camera.aperture * u1)
+        psi = 2.0 * jnp.pi * u2
+        origin_local = jnp.stack(
+            [sqrt_r * jnp.cos(psi), sqrt_r * jnp.sin(psi), jnp.zeros_like(u1)],
+            axis=-1,
+        )
+    else:
+        origin_local = jnp.zeros_like(targets)
+
+    world_origin = origin_local @ rot.T + trans
+    direction = targets - world_origin
+    distance = jnp.sqrt(jnp.maximum(jnp.sum(direction * direction, axis=-1), 1e-20))
+    direction = direction / distance[:, None]
+
+    fd = camera.focus_distance
+    l1 = local + jnp.asarray([0.0, 0.0, fd])
+    dist_z = l1[:, 2]
+    l2 = l1 - origin_local * (dist_z / fd)[:, None]
+    l3 = l2 - jnp.asarray([0.0, 0.0, fd])
+    denom = jnp.where(jnp.abs(l3[:, 2]) < 1e-12, 1.0, l3[:, 2])
+    vpt = -l3 / denom[:, None]
+    target_x = vpt[:, 0] * camera.view_plane
+    target_y = -vpt[:, 1] * camera.view_plane
+    return jnp.stack([target_x, target_y], axis=-1), world_origin, direction, distance, ok

@@ -227,6 +227,124 @@ def _intersect_de(shape, origin, direction, max_steps):
     return ok, jnp.where(ok, total, jnp.inf), local_origin
 
 
+BRUTE_FORCE_PRIMS = 4096  # below this, dense tests beat divergent traversal
+_BRUTE_CHUNK = 256
+
+
+def _brute_force_triangles(scene, origin, direction, best):
+    """Dense [rays x prims] triangle tests, chunked over primitives.
+
+    On a vector machine a fully dense test sweep is far faster than a
+    per-ray traversal loop for small scenes: it is pure VPU work with a
+    min-reduction, no serial node walk."""
+    a = scene.arrays
+    count = scene.num_triangles
+    for c0 in range(0, count, _BRUTE_CHUNK):
+        c1 = min(c0 + _BRUTE_CHUNK, count)
+        ok, t, u, v = geom.ray_triangle(
+            origin[:, None, :],
+            direction[:, None, :],
+            a["tri_v0"][None, c0:c1],
+            a["tri_e1"][None, c0:c1],
+            a["tri_e2"][None, c0:c1],
+        )
+        t = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(t.shape[0])
+        tj = t[rows, j]
+        better = tj < best["t"]
+        best = {
+            "t": jnp.where(better, tj, best["t"]),
+            "kind": jnp.where(better, KIND_TRIANGLE, best["kind"]),
+            "idx": jnp.where(better, (c0 + j).astype(jnp.int32), best["idx"]),
+            "u": jnp.where(better, u[rows, j], best["u"]),
+            "v": jnp.where(better, v[rows, j], best["v"]),
+        }
+    return best
+
+
+def _brute_force_spheres(scene, origin, direction, best):
+    a = scene.arrays
+    count = scene.num_spheres
+    for c0 in range(0, count, _BRUTE_CHUNK):
+        c1 = min(c0 + _BRUTE_CHUNK, count)
+        ok, t = geom.ray_sphere(
+            origin[:, None, :],
+            direction[:, None, :],
+            a["sph_center"][None, c0:c1],
+            a["sph_radius"][None, c0:c1],
+        )
+        t = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)
+        rows = jnp.arange(t.shape[0])
+        tj = t[rows, j]
+        better = tj < best["t"]
+        best = {
+            "t": jnp.where(better, tj, best["t"]),
+            "kind": jnp.where(better, KIND_SPHERE, best["kind"]),
+            "idx": jnp.where(better, (c0 + j).astype(jnp.int32), best["idx"]),
+            "u": best["u"],
+            "v": best["v"],
+        }
+    return best
+
+
+def intersect_shadow(scene: Scene, origin, direction, cfg: TraceConfig):
+    """Occlusion-only query: nearest hit distance (inf when unoccluded).
+
+    Cheaper than intersect_scene: no surface bookkeeping, just a running
+    min-t over planes, primitives, and DE shapes."""
+    n = origin.shape[0]
+    a = scene.arrays
+    t_best = jnp.full(n, jnp.inf)
+
+    if scene.num_planes > 0:
+        hit, t = geom.ray_plane(
+            origin[:, None, :],
+            direction[:, None, :],
+            a["pla_normal"][None, :, :],
+            a["pla_d"][None, :],
+        )
+        t_best = jnp.minimum(t_best, jnp.min(jnp.where(hit, t, jnp.inf), axis=1))
+
+    if 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
+        if scene.num_triangles > 0:
+            for c0 in range(0, scene.num_triangles, _BRUTE_CHUNK):
+                c1 = min(c0 + _BRUTE_CHUNK, scene.num_triangles)
+                ok, t, _, _ = geom.ray_triangle(
+                    origin[:, None, :],
+                    direction[:, None, :],
+                    a["tri_v0"][None, c0:c1],
+                    a["tri_e1"][None, c0:c1],
+                    a["tri_e2"][None, c0:c1],
+                )
+                t_best = jnp.minimum(
+                    t_best, jnp.min(jnp.where(ok, t, jnp.inf), axis=1)
+                )
+        if scene.num_spheres > 0:
+            for c0 in range(0, scene.num_spheres, _BRUTE_CHUNK):
+                c1 = min(c0 + _BRUTE_CHUNK, scene.num_spheres)
+                ok, t = geom.ray_sphere(
+                    origin[:, None, :],
+                    direction[:, None, :],
+                    a["sph_center"][None, c0:c1],
+                    a["sph_radius"][None, c0:c1],
+                )
+                t_best = jnp.minimum(
+                    t_best, jnp.min(jnp.where(ok, t, jnp.inf), axis=1)
+                )
+    elif scene.bvh_nodes > 0:
+        hit = intersect_scene(scene, origin, direction, cfg)
+        t_best = jnp.minimum(t_best, hit["t"])
+        return t_best
+
+    for shape in scene.de_shapes:
+        ok, t, _ = _intersect_de(shape, origin, direction, cfg.max_de_steps)
+        t_best = jnp.minimum(t_best, jnp.where(ok, t, jnp.inf))
+
+    return t_best
+
+
 def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
     """Closest hit for a ray batch. Returns a dict with t, kind, idx, u, v."""
     n = origin.shape[0]
@@ -256,8 +374,13 @@ def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
         best["kind"] = jnp.where(better, KIND_PLANE, best["kind"])
         best["idx"] = jnp.where(better, pi.astype(jnp.int32), best["idx"])
 
-    # finite primitives through the BVH
-    if scene.bvh_nodes > 0:
+    # finite primitives: dense sweep for small scenes, BVH for large ones
+    if 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
+        if scene.num_triangles > 0:
+            best = _brute_force_triangles(scene, origin, direction, best)
+        if scene.num_spheres > 0:
+            best = _brute_force_spheres(scene, origin, direction, best)
+    elif scene.bvh_nodes > 0:
         tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
         sph_center, sph_radius = a["sph_center"], a["sph_radius"]
         prim_kind, prim_ref = a["prim_kind"], a["prim_ref"]
@@ -536,7 +659,7 @@ def _triangle_area(e1, e2):
 
 def sample_lamp(scene: Scene, lamp_idx, target, u):
     """Sample one lamp toward ``target`` (lamp.rs:23-82), branchless over
-    lamp types. ``u``: [N, 4] uniforms.
+    the lamp types present in the scene. ``u``: [N, 4] uniforms.
 
     Returns dict: direction, sq_distance (inf when directional), weight,
     has_physical_surface, surface normal/uv, surface material id (for
@@ -547,78 +670,14 @@ def sample_lamp(scene: Scene, lamp_idx, target, u):
     lwidth = a["lamp_width"][lamp_idx]
     n = target.shape[0]
 
-    # directional
-    dir_dir = jnp.where(
-        (lwidth > 0.0)[:, None],
-        geom.sample_cone(u[:, 0], u[:, 1], lvec, lwidth),
-        lvec,
-    )
-
-    # point
-    v_pt = lvec - target
-    pt_sqd = geom.dot(v_pt, v_pt)
-    pt_dir = geom.normalize(v_pt)
-    pt_weight = 4.0 * jnp.pi / jnp.maximum(pt_sqd, 1e-20)
-
-    # sphere shape (shapes/mod.rs:209-271)
-    ref = jnp.maximum(a["lamp_ref"][lamp_idx], 0)
-    s_center = a["sph_center"][ref]
-    s_radius_full = a["sph_radius"][ref]
-    s_radius = jnp.maximum(s_radius_full - DIST_EPSILON, 0.0)
-    dir_to_c = s_center - target
-    dist2 = geom.dot(dir_to_c, dir_to_c)
-    outside = dist2 > s_radius * s_radius
-    cos_theta_max = jnp.sqrt(jnp.maximum(1.0 - (s_radius * s_radius) / jnp.maximum(dist2, 1e-20), 0.0))
-    cone_dir = geom.sample_cone(u[:, 0], u[:, 1], geom.normalize(dir_to_c), cos_theta_max)
-    cone_hit, cone_t = geom.ray_sphere(target, cone_dir, s_center, s_radius)
-    cone_t = jnp.where(cone_hit, cone_t, 0.0)  # the reference's "cheat" fallback
-    sph_point_out = target + cone_dir * cone_t[:, None]
-    # inside: uniform surface point (full radius)
-    unit = geom.sample_sphere(u[:, 0], u[:, 1])
-    sph_point_in = s_center + unit * s_radius_full[:, None]
-    sph_point = jnp.where(outside[:, None], sph_point_out, sph_point_in)
-    sph_v = sph_point - target
-    sph_sqd_in = geom.dot(sph_v, sph_v)
-    sph_sqd = jnp.where(outside, cone_t * cone_t, sph_sqd_in)
-    sph_dir = jnp.where(outside[:, None], cone_dir, geom.normalize(sph_v))
-    # solid_angle_towards uses the full radius (shapes/mod.rs:253-271)
-    cos_full = jnp.sqrt(
-        jnp.maximum(1.0 - (s_radius_full * s_radius_full) / jnp.maximum(dist2, 1e-20), 0.0)
-    )
-    sph_normal, sph_quat, sph_uv = geom.sphere_surface_frame(
-        sph_point, s_center, a["sph_texscale"][ref]
-    )
-    sph_area = s_radius_full * s_radius_full * 4.0 * jnp.pi
-    cos_in_sph = jnp.abs(geom.dot(sph_normal, -sph_dir))
-    sph_weight = jnp.where(
-        dist2 > s_radius_full * s_radius_full,
-        geom.solid_angle(cos_full),
-        cos_in_sph * sph_area / jnp.maximum(sph_sqd, 1e-20),
-    )
-
-    # triangle shape: uniform point (shapes/mod.rs:180-207)
-    t_v0 = a["tri_v0"][ref]
-    t_e1 = a["tri_e1"][ref]
-    t_e2 = a["tri_e2"][ref]
-    tu = u[:, 0]
-    tv = u[:, 1]
-    fold = tu + tv > 1.0
-    tu = jnp.where(fold, 1.0 - tu, tu)
-    tv = jnp.where(fold, 1.0 - tv, tv)
-    tri_point = t_v0 + t_e1 * tu[:, None] + t_e2 * tv[:, None]
-    tri_v = tri_point - target
-    tri_sqd = geom.dot(tri_v, tri_v)
-    tri_dir = geom.normalize(tri_v)
-    tw = 1.0 - tu - tv
-    tn = a["tri_n"][ref]
-    tq_uv = a["tri_uv"][ref]
-    tri_normal = geom.normalize(
-        tn[:, 0] * tw[:, None] + tn[:, 1] * tu[:, None] + tn[:, 2] * tv[:, None]
-    )
-    tri_uv_i = tq_uv[:, 0] * tw[:, None] + tq_uv[:, 1] * tu[:, None] + tq_uv[:, 2] * tv[:, None]
-    tri_area = _triangle_area(t_e1, t_e2)
-    cos_in_tri = jnp.abs(geom.dot(tri_normal, -tri_dir))
-    tri_weight = cos_in_tri * tri_area / jnp.maximum(tri_sqd, 1e-20)
+    zero3 = jnp.zeros((n, 3))
+    zero = jnp.zeros(n)
+    direction = zero3
+    sq_distance = jnp.full(n, jnp.inf)
+    weight = jnp.ones(n)
+    surf_normal = zero3
+    surf_uv = jnp.zeros((n, 2))
+    surf_mat = jnp.zeros(n, jnp.int32)
 
     is_dir = ltype == LAMP_DIRECTIONAL
     is_pt = ltype == LAMP_POINT
@@ -626,20 +685,108 @@ def sample_lamp(scene: Scene, lamp_idx, target, u):
     is_tri = ltype == LAMP_TRIANGLE
     is_shape = is_sph | is_tri
 
-    direction = jnp.where(
-        is_dir[:, None],
-        dir_dir,
-        jnp.where(is_pt[:, None], pt_dir, jnp.where(is_sph[:, None], sph_dir, tri_dir)),
-    )
-    sq_distance = jnp.where(
-        is_dir, jnp.inf, jnp.where(is_pt, pt_sqd, jnp.where(is_sph, sph_sqd, tri_sqd))
-    )
-    weight = jnp.where(
-        is_dir, 1.0, jnp.where(is_pt, pt_weight, jnp.where(is_sph, sph_weight, tri_weight))
-    )
-    surf_normal = jnp.where(is_sph[:, None], sph_normal, tri_normal)
-    surf_uv = jnp.where(is_sph[:, None], sph_uv, tri_uv_i)
-    surf_mat = jnp.where(is_sph, a["sph_mat"][ref], a["tri_mat"][ref])
+    if LAMP_DIRECTIONAL in scene.lamp_types:
+        dir_dir = jnp.where(
+            (lwidth > 0.0)[:, None],
+            geom.sample_cone(u[:, 0], u[:, 1], lvec, lwidth),
+            lvec,
+        )
+        direction = jnp.where(is_dir[:, None], dir_dir, direction)
+
+    if LAMP_POINT in scene.lamp_types:
+        v_pt = lvec - target
+        pt_sqd = geom.dot(v_pt, v_pt)
+        pt_dir = geom.normalize(v_pt)
+        pt_weight = 4.0 * jnp.pi / jnp.maximum(pt_sqd, 1e-20)
+        direction = jnp.where(is_pt[:, None], pt_dir, direction)
+        sq_distance = jnp.where(is_pt, pt_sqd, sq_distance)
+        weight = jnp.where(is_pt, pt_weight, weight)
+
+    ref = jnp.maximum(a["lamp_ref"][lamp_idx], 0)
+
+    if LAMP_SPHERE in scene.lamp_types:
+        # sphere shape (shapes/mod.rs:209-271)
+        s_center = a["sph_center"][ref]
+        s_radius_full = a["sph_radius"][ref]
+        s_radius = jnp.maximum(s_radius_full - DIST_EPSILON, 0.0)
+        dir_to_c = s_center - target
+        dist2 = geom.dot(dir_to_c, dir_to_c)
+        outside = dist2 > s_radius * s_radius
+        cos_theta_max = jnp.sqrt(
+            jnp.maximum(1.0 - (s_radius * s_radius) / jnp.maximum(dist2, 1e-20), 0.0)
+        )
+        cone_dir = geom.sample_cone(
+            u[:, 0], u[:, 1], geom.normalize(dir_to_c), cos_theta_max
+        )
+        cone_hit, cone_t = geom.ray_sphere(target, cone_dir, s_center, s_radius)
+        cone_t = jnp.where(cone_hit, cone_t, 0.0)  # the reference's "cheat" fallback
+        sph_point_out = target + cone_dir * cone_t[:, None]
+        # inside: uniform surface point (full radius)
+        unit = geom.sample_sphere(u[:, 0], u[:, 1])
+        sph_point_in = s_center + unit * s_radius_full[:, None]
+        sph_point = jnp.where(outside[:, None], sph_point_out, sph_point_in)
+        sph_v = sph_point - target
+        sph_sqd_in = geom.dot(sph_v, sph_v)
+        sph_sqd = jnp.where(outside, cone_t * cone_t, sph_sqd_in)
+        sph_dir = jnp.where(outside[:, None], cone_dir, geom.normalize(sph_v))
+        # solid_angle_towards uses the full radius (shapes/mod.rs:253-271)
+        cos_full = jnp.sqrt(
+            jnp.maximum(
+                1.0 - (s_radius_full * s_radius_full) / jnp.maximum(dist2, 1e-20), 0.0
+            )
+        )
+        sph_normal, _, sph_uv = geom.sphere_surface_frame(
+            sph_point, s_center, a["sph_texscale"][ref]
+        )
+        sph_area = s_radius_full * s_radius_full * 4.0 * jnp.pi
+        cos_in_sph = jnp.abs(geom.dot(sph_normal, -sph_dir))
+        sph_weight = jnp.where(
+            dist2 > s_radius_full * s_radius_full,
+            geom.solid_angle(cos_full),
+            cos_in_sph * sph_area / jnp.maximum(sph_sqd, 1e-20),
+        )
+        direction = jnp.where(is_sph[:, None], sph_dir, direction)
+        sq_distance = jnp.where(is_sph, sph_sqd, sq_distance)
+        weight = jnp.where(is_sph, sph_weight, weight)
+        surf_normal = jnp.where(is_sph[:, None], sph_normal, surf_normal)
+        surf_uv = jnp.where(is_sph[:, None], sph_uv, surf_uv)
+        surf_mat = jnp.where(is_sph, a["sph_mat"][ref], surf_mat)
+
+    if LAMP_TRIANGLE in scene.lamp_types:
+        # triangle shape: uniform point (shapes/mod.rs:180-207)
+        t_v0 = a["tri_v0"][ref]
+        t_e1 = a["tri_e1"][ref]
+        t_e2 = a["tri_e2"][ref]
+        tu = u[:, 0]
+        tv = u[:, 1]
+        fold = tu + tv > 1.0
+        tu = jnp.where(fold, 1.0 - tu, tu)
+        tv = jnp.where(fold, 1.0 - tv, tv)
+        tri_point = t_v0 + t_e1 * tu[:, None] + t_e2 * tv[:, None]
+        tri_v = tri_point - target
+        tri_sqd = geom.dot(tri_v, tri_v)
+        tri_dir = geom.normalize(tri_v)
+        tw = 1.0 - tu - tv
+        tn = a["tri_n"][ref]
+        tq_uv = a["tri_uv"][ref]
+        tri_normal = geom.normalize(
+            tn[:, 0] * tw[:, None] + tn[:, 1] * tu[:, None] + tn[:, 2] * tv[:, None]
+        )
+        tri_uv_i = (
+            tq_uv[:, 0] * tw[:, None]
+            + tq_uv[:, 1] * tu[:, None]
+            + tq_uv[:, 2] * tv[:, None]
+        )
+        tri_area = _triangle_area(t_e1, t_e2)
+        cos_in_tri = jnp.abs(geom.dot(tri_normal, -tri_dir))
+        tri_weight = cos_in_tri * tri_area / jnp.maximum(tri_sqd, 1e-20)
+        direction = jnp.where(is_tri[:, None], tri_dir, direction)
+        sq_distance = jnp.where(is_tri, tri_sqd, sq_distance)
+        weight = jnp.where(is_tri, tri_weight, weight)
+        surf_normal = jnp.where(is_tri[:, None], tri_normal, surf_normal)
+        surf_uv = jnp.where(is_tri[:, None], tri_uv_i, surf_uv)
+        surf_mat = jnp.where(is_tri, a["tri_mat"][ref], surf_mat)
+
     return {
         "direction": direction,
         "sq_distance": sq_distance,
@@ -701,9 +848,9 @@ def trace_direct(
         contributes = active & (cos_out > 0.0)
 
         # shadow ray
-        hit = intersect_scene(scene, position, samp["direction"], cfg)
-        hit_sq = hit["t"] * hit["t"]
-        has_hit = hit["kind"] != KIND_NONE
+        t_hit = intersect_shadow(scene, position, samp["direction"], cfg)
+        has_hit = jnp.isfinite(t_hit)
+        hit_sq = jnp.where(has_hit, t_hit * t_hit, jnp.inf)
         blocked = jnp.where(
             jnp.isinf(samp["sq_distance"]),
             has_hit,
@@ -788,6 +935,29 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
     a = scene.arrays
 
     def bounce_step(state, bounce_key):
+        return bounce_core(scene, cfg, wavelengths, state, bounce_key)
+
+    keys = jax.random.split(key, cfg.bounces)
+
+    def scan_body(state, bounce_key):
+        new_state, _ = bounce_step(state, bounce_key)
+        return new_state, None
+
+    state, _ = jax.lax.scan(scan_body, state, keys)
+    return state["brightness"], state["aux_alive"]
+
+
+def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
+    """One camera-path bounce: intersection, contribution, NEE, scatter.
+
+    Returns (new_state, info); info carries the surface interaction data a
+    bidirectional connection step needs (position, normal, incident, bounce
+    classification, stored-direction brdf)."""
+    n = state["origin"].shape[0]
+    s_count = wavelengths.shape[1]
+    a = scene.arrays
+
+    if True:  # keep the original body's indentation
         alive = state["alive"]
         o = state["origin"]
         d = state["direction"]
@@ -870,12 +1040,12 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
             ],
             axis=1,
         )
-        emit_color = eval_color_bank(
-            scene, a["comp_color"][comp], prob_inputs, active=emit_now
+        surface_color = eval_color_bank(
+            scene, a["comp_color"][comp], prob_inputs, active=hit_active
         )
         brightness = brightness + jnp.where(
             emit_now[:, None] & aux_emit,
-            emit_color * comp_probability[:, None] * state["reflectance"],
+            surface_color * comp_probability[:, None] * state["reflectance"],
             0.0,
         )
 
@@ -887,9 +1057,7 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
             axis=1,
         )
 
-        refl_color = eval_color_bank(
-            scene, a["comp_color"][comp], prob_inputs, active=reflected
-        )
+        refl_color = surface_color
         path_prob = sc["probability"] * comp_probability
         reflectance = jnp.where(
             reflected[:, None] & aux_ref_cols,
@@ -937,7 +1105,7 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
         new_direction = jnp.where(reflected[:, None], sc["out_dir"], d)
         alive_next = alive & reflected
 
-        return {
+        new_state = {
             "origin": new_origin,
             "direction": new_direction,
             "brightness": brightness,
@@ -947,11 +1115,267 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
             "sample_light": sample_light,
             "light_events": light_events,
         }
+        info = {
+            "position": position,
+            "normal": normal,
+            "incident": d,
+            "reflected": reflected,
+            "is_diffuse": sc["is_diffuse"] & reflected,
+            # a vertex was recorded on this bounce (reflection, emission
+            # while sampling lights, or a miss) -> counts toward path length
+            "recorded": reflected | emit_now | miss,
+            "brdf_stored": brdf,
+            "miss": miss,
+        }
+        return new_state, info
 
-    keys = jax.random.split(key, cfg.bounces)
 
-    def scan_body(state, bounce_key):
-        return bounce_step(state, bounce_key), None
+# =============================================================================
+# Lamp-path recording for bidirectional tracing (bidirectional.rs:125-202)
+# =============================================================================
 
-    state, _ = jax.lax.scan(scan_body, state, keys)
-    return state["brightness"], state["aux_alive"]
+
+def sample_lamp_ray(scene: Scene, key, n):
+    """Start light subpaths: pick a lamp uniformly and sample an outgoing ray
+    (lamp.rs:84-113). Returns a dict of emitter-vertex data; 'valid' is False
+    for directional lamps (they cannot start paths) or empty scenes."""
+    a = scene.arrays
+    k_pick, k_u, k_dir = jax.random.split(key, 3)
+    lamp_idx = jax.random.randint(k_pick, (n,), 0, max(scene.num_lamps, 1))
+    pick_prob = 1.0 / max(scene.num_lamps, 1)
+    u = jax.random.uniform(k_u, (n, 4))
+
+    ltype = a["lamp_type"][lamp_idx]
+    lvec = a["lamp_vec"][lamp_idx]
+    ref = jnp.maximum(a["lamp_ref"][lamp_idx], 0)
+
+    position = jnp.zeros((n, 3))
+    direction = jnp.zeros((n, 3))
+    normal = jnp.zeros((n, 3))
+    uv = jnp.zeros((n, 2))
+    weight = jnp.ones(n)
+    is_shape = jnp.zeros(n, bool)
+    surf_mat = jnp.zeros(n, jnp.int32)
+    valid = jnp.full(n, scene.num_lamps > 0)
+
+    if LAMP_DIRECTIONAL in scene.lamp_types:
+        valid &= ltype != LAMP_DIRECTIONAL
+
+    if LAMP_POINT in scene.lamp_types:
+        is_pt = ltype == LAMP_POINT
+        pt_dir = geom.sample_sphere(u[:, 0], u[:, 1])
+        position = jnp.where(is_pt[:, None], lvec, position)
+        direction = jnp.where(is_pt[:, None], pt_dir, direction)
+        normal = jnp.where(is_pt[:, None], pt_dir, normal)  # Surface::Color case
+        weight = jnp.where(is_pt, 4.0 * jnp.pi, weight)
+
+    if LAMP_SPHERE in scene.lamp_types:
+        is_sph = ltype == LAMP_SPHERE
+        s_center = a["sph_center"][ref]
+        s_radius = a["sph_radius"][ref]
+        unit = geom.sample_sphere(u[:, 0], u[:, 1])
+        point = s_center + unit * s_radius[:, None]
+        s_normal, _, s_uv = geom.sphere_surface_frame(
+            point, s_center, a["sph_texscale"][ref]
+        )
+        s_dir = geom.sample_hemisphere(u[:, 2], u[:, 3], s_normal)
+        s_area = s_radius * s_radius * 4.0 * jnp.pi
+        position = jnp.where(is_sph[:, None], point, position)
+        direction = jnp.where(is_sph[:, None], s_dir, direction)
+        normal = jnp.where(is_sph[:, None], s_normal, normal)
+        uv = jnp.where(is_sph[:, None], s_uv, uv)
+        weight = jnp.where(is_sph, s_area, weight)
+        is_shape |= is_sph
+        surf_mat = jnp.where(is_sph, a["sph_mat"][ref], surf_mat)
+
+    if LAMP_TRIANGLE in scene.lamp_types:
+        is_tri = ltype == LAMP_TRIANGLE
+        tu = u[:, 0]
+        tv = u[:, 1]
+        fold = tu + tv > 1.0
+        tu = jnp.where(fold, 1.0 - tu, tu)
+        tv = jnp.where(fold, 1.0 - tv, tv)
+        t_v0 = a["tri_v0"][ref]
+        t_e1 = a["tri_e1"][ref]
+        t_e2 = a["tri_e2"][ref]
+        point = t_v0 + t_e1 * tu[:, None] + t_e2 * tv[:, None]
+        tw = 1.0 - tu - tv
+        tn = a["tri_n"][ref]
+        t_uv = a["tri_uv"][ref]
+        t_normal = geom.normalize(
+            tn[:, 0] * tw[:, None] + tn[:, 1] * tu[:, None] + tn[:, 2] * tv[:, None]
+        )
+        t_uv_i = (
+            t_uv[:, 0] * tw[:, None]
+            + t_uv[:, 1] * tu[:, None]
+            + t_uv[:, 2] * tv[:, None]
+        )
+        t_dir = geom.sample_hemisphere(u[:, 2], u[:, 3], t_normal)
+        t_area = _triangle_area(t_e1, t_e2)
+        position = jnp.where(is_tri[:, None], point, position)
+        direction = jnp.where(is_tri[:, None], t_dir, direction)
+        normal = jnp.where(is_tri[:, None], t_normal, normal)
+        uv = jnp.where(is_tri[:, None], t_uv_i, uv)
+        weight = jnp.where(is_tri, t_area, weight)
+        is_shape |= is_tri
+        surf_mat = jnp.where(is_tri, a["tri_mat"][ref], surf_mat)
+
+    return {
+        "lamp_idx": lamp_idx,
+        "pick_prob": pick_prob,
+        "position": position,
+        "direction": direction,
+        "normal": normal,
+        "uv": uv,
+        "weight": weight,
+        "is_shape": is_shape,
+        "surf_mat": surf_mat,
+        "color_prog": a["lamp_color"][lamp_idx],
+        "valid": valid,
+    }
+
+
+def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
+    """Build light subpaths with recorded vertices (bidirectional.rs:125-202).
+
+    Returns a dict of [N, L+1, ...] arrays (vertex 0 = emitter) where L =
+    cfg.bounces, containing everything the connection math needs:
+      position, normal, uv, color_prog (program id), probability,
+      is_diffuse, dispersed, valid, brdf (2|n.incident| factor for diffuse),
+    plus 'length' [N] (number of valid vertices, trailing emission dropped).
+    """
+    n = wavelengths.shape[0]
+    a = scene.arrays
+    k_start, k_emis, k_trace = jax.random.split(key, 3)
+
+    start = sample_lamp_ray(scene, k_start, n)
+
+    # emissive material sampling at the emitter (bidirectional.rs:135-161)
+    e_comp, e_sel = choose_emissive(
+        scene, start["surf_mat"], jax.random.uniform(k_emis, (n,))
+    )
+    prob_inputs = ProgramInputs(
+        wavelength=wavelengths,
+        normal=start["normal"],
+        incident=-start["direction"],
+        uv=start["uv"],
+    )
+    mat_prob = eval_prob_bank(
+        scene, a["comp_prob"][e_comp], prob_inputs, active=start["is_shape"]
+    ) * e_sel
+    mat_prob = jnp.where(start["is_shape"], mat_prob, 1.0)
+    emitter_dispersed = jnp.where(
+        start["is_shape"], a["comp_prob_uses_wl"][e_comp], False
+    )
+    emitter_color = jnp.where(
+        start["is_shape"], a["comp_color"][e_comp], start["color_prog"]
+    )
+    # Bounce.probability for the emitter = weight / (pick_prob * material_prob)
+    emitter_prob = start["weight"] / (
+        start["pick_prob"] * jnp.maximum(mat_prob, 1e-20)
+    )
+
+    origin = start["position"] + start["normal"] * DIST_EPSILON
+
+    # --- trace, recording vertices ------------------------------------------
+    state = {
+        "origin": origin,
+        "direction": start["direction"],
+        "alive": start["valid"],
+    }
+
+    def lamp_bounce_step(state, bounce_key):
+        alive = state["alive"]
+        o = state["origin"]
+        d = state["direction"]
+
+        hit = intersect_scene(scene, o, d, cfg)
+        found = hit["kind"] != KIND_NONE
+        position, normal_geo, quat, uv, mat_id = surface_data(scene, hit, o, d, cfg)
+
+        k_nm, k_comp, k_scatter = jax.random.split(bounce_key, 3)
+        nm_inputs = ProgramInputs(
+            wavelength=wavelengths, normal=normal_geo, incident=d, uv=uv
+        )
+        normal = apply_normal_maps(scene, mat_id, normal_geo, quat, nm_inputs)
+
+        count = jnp.maximum(a["mat_comp_count"][mat_id], 1)
+        pick = jnp.minimum(
+            (jax.random.uniform(k_comp, (n,)) * count).astype(jnp.int32), count - 1
+        )
+        comp = a["mat_comp_offset"][mat_id] + pick
+
+        p_inputs = ProgramInputs(
+            wavelength=wavelengths, normal=normal, incident=d, uv=uv
+        )
+        comp_probability = eval_prob_bank(
+            scene, a["comp_prob"][comp], p_inputs, active=alive & found
+        ) * a["comp_selection"][comp]
+        normal_dispersed = a["comp_prob_uses_wl"][comp]
+
+        sc = scatter(
+            scene, comp, d, normal, wavelengths[:, 0],
+            jax.random.uniform(k_scatter, (n, 3)),
+        )
+
+        reflected = alive & found & ~sc["is_emissive"]
+        # valid recorded vertex: a real non-emission surface interaction
+        # (emission hits terminate the light path and are dropped,
+        # bidirectional.rs:194-201; misses record nothing)
+        vertex = {
+            "position": position,
+            "normal": normal,
+            "uv": uv,
+            "color_prog": a["comp_color"][comp],
+            "probability": sc["probability"] * comp_probability,
+            "is_diffuse": sc["is_diffuse"],
+            "dispersed": sc["dispersed"] | normal_dispersed,
+            "valid": reflected,
+            # after the reference's incident-reversal, the brdf factor of a
+            # recorded diffuse vertex is 2|n.incident| (lambertian of the
+            # direction it was reached from)
+            "brdf": jnp.where(
+                sc["is_diffuse"], 2.0 * jnp.abs(geom.dot(normal, d)), 1.0
+            ),
+            # brdf with the scattered out-direction: used only when the path
+            # ends at the bounce limit and the trailing vertex keeps its
+            # original out direction (never reassigned by pairs())
+            "brdf_scatter": jnp.where(
+                sc["is_diffuse"],
+                2.0 * jnp.abs(geom.dot(normal, sc["out_dir"])),
+                1.0,
+            ),
+            "incident_out": d,  # direction that arrived at this vertex
+        }
+
+        new_state = {
+            "origin": jnp.where(reflected[:, None], position, o),
+            "direction": jnp.where(reflected[:, None], sc["out_dir"], d),
+            "alive": reflected,
+        }
+        return new_state, vertex
+
+    keys = jax.random.split(k_trace, cfg.bounces)
+    _, recorded = jax.lax.scan(lamp_bounce_step, state, keys)
+    # recorded: dict of [L, N, ...] -> [N, L, ...]
+    recorded = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1), recorded)
+
+    # prepend the emitter vertex
+    def cat(first, rest):
+        return jnp.concatenate([first[:, None], rest], axis=1)
+
+    path = {
+        "position": cat(origin, recorded["position"]),
+        "normal": cat(start["normal"], recorded["normal"]),
+        "uv": cat(start["uv"], recorded["uv"]),
+        "color_prog": cat(emitter_color, recorded["color_prog"]),
+        "probability": cat(emitter_prob, recorded["probability"]),
+        "is_diffuse": cat(jnp.zeros(n, bool), recorded["is_diffuse"]),
+        "dispersed": cat(emitter_dispersed, recorded["dispersed"]),
+        "valid": cat(start["valid"], recorded["valid"]),
+        "brdf": cat(jnp.ones(n), recorded["brdf"]),
+        "incident_out": cat(start["direction"], recorded["incident_out"]),
+    }
+    path["brdf_limit"] = recorded["brdf_scatter"][:, -1]
+    path["length"] = jnp.sum(path["valid"].astype(jnp.int32), axis=1)
+    return path
