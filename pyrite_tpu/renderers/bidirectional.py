@@ -99,7 +99,7 @@ def _lamp_path_factors(scene: Scene, path, wavelengths, cfg: TraceConfig):
 
     is_specular = path["valid"] & ~path["is_diffuse"]
     is_specular = is_specular.at[:, 0].set(False)  # the emitter connects
-    return pp, aux_ok, is_specular
+    return pp, aux_ok, is_specular, inc
 
 
 def _light_splats(
@@ -166,7 +166,7 @@ def make_render_step(
 
         # --- lamp subpaths ----------------------------------------------------
         path = trace_lamp_path(scene, lamp_cfg, k_lamp, wavelengths)
-        pp, aux_ok, lamp_specular = _lamp_path_factors(scene, path, wavelengths, cfg)
+        pp, aux_ok, lamp_specular, _ = _lamp_path_factors(scene, path, wavelengths, cfg)
         slots = path["valid"].shape[1]
         len_lamp = path["length"]
 

@@ -1119,6 +1119,9 @@ def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
             "position": position,
             "normal": normal,
             "incident": d,
+            # per-bounce throughput factor color(lambda)*probability (before
+            # the brdf), for chain-product consumers (photon mapping)
+            "color_prob": refl_color * path_prob[:, None],
             "reflected": reflected,
             "is_diffuse": sc["is_diffuse"] & reflected,
             # a vertex was recorded on this bounce (reflection, emission
