@@ -46,7 +46,27 @@ class FlatBvh:
 
 
 def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBvh:
-    """Build a flat BVH over primitives given their AABBs ([K, 3] each)."""
+    """Build a flat BVH over primitives given their AABBs ([K, 3] each).
+
+    Prefers the native C++ builder (pyrite_tpu/native) and falls back to the
+    numpy implementation below."""
+    try:
+        from . import native
+
+        result = native.build_bvh(
+            np.asarray(prim_min, np.float32), np.asarray(prim_max, np.float32)
+        )
+    except Exception:
+        result = None
+    if result is not None:
+        bbox_min, bbox_max, subtree, prim = result
+        return FlatBvh(
+            bbox_min=bbox_min, bbox_max=bbox_max, subtree_size=subtree, prim_index=prim
+        )
+    return _build_bvh_python(prim_min, prim_max)
+
+
+def _build_bvh_python(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBvh:
     count = len(prim_min)
     if count == 0:
         return FlatBvh(

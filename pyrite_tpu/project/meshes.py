@@ -106,5 +106,12 @@ class MeshLoader:
     def load(self, rel_path: str) -> ObjMesh:
         path = os.path.realpath(os.path.join(self.project_dir, rel_path))
         if path not in self._cache:
-            self._cache[path] = load_obj(path)
+            mesh = None
+            try:  # native C++ parser; falls back to the Python one
+                from .. import native
+
+                mesh = native.load_obj(path)
+            except Exception:
+                mesh = None
+            self._cache[path] = mesh if mesh is not None else load_obj(path)
         return self._cache[path]

@@ -554,7 +554,11 @@ def apply_normal_maps(scene: Scene, mat_id, normal, quat, inputs: ProgramInputs)
     out = normal
     for p, prog in enumerate(scene.normal_programs):
         mask = (prog_id == p)[:, None]
-        vec = prog(inputs)  # [N, 4] or broadcastable
+        vec = prog(inputs)  # [N, 4], [N, 1, 4], or scalar-broadcastable
+        # normal maps cannot read the wavelength (the reference rejects such
+        # programs at compile time, tracer.rs:60-70), so drop the lambda axis
+        if getattr(vec, "ndim", 0) == 3:
+            vec = vec[:, 0, :]
         vec = jnp.broadcast_to(vec, (normal.shape[0], 4))[:, :3]
         mapped = geom.normalize(geom.quat_rotate(quat, vec))
         out = jnp.where(mask, mapped, out)

