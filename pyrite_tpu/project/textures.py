@@ -25,6 +25,15 @@ class TextureData:
 
 
 def load_texture(path: str, linear: bool, mono: bool) -> TextureData:
+    if not os.path.exists(path):
+        # Missing asset (e.g. stripped large blobs in the reference tree):
+        # warn and substitute a neutral placeholder so the scene still runs.
+        print(f"Warning: texture '{path}' not found; using a placeholder.")
+        if mono:
+            return TextureData(data=np.full((2, 2), 0.5, np.float32))
+        data = np.full((2, 2, 4), 0.5, np.float32)
+        data[:, :, 3] = 1.0
+        return TextureData(data=data)
     img = PILImage.open(path)
     if img.mode in ("I;16", "I"):
         arr = np.asarray(img, np.float32) / 65535.0

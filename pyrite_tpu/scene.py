@@ -422,6 +422,10 @@ def build_scene(project_data) -> Scene:
             pla_quat.append(quat)
             pla_texscale.append(texscale_of(obj.texture_scale))
             pla_mat.append(mid)
+            if material_is_emissive(mid):
+                print(
+                    "Warning: emissive planes may not always produce correct results."
+                )
         elif isinstance(obj, ir.Mesh):
             obj_mesh = project_data.meshes.load(obj.file)
             scale = 1.0 if obj.scale is None else ir.eval_number(obj.scale)
@@ -478,6 +482,11 @@ def build_scene(project_data) -> Scene:
                 bounds_kind = "sphere"
                 a = ir.eval_vector3(obj.bounds.position)
                 b = np.array([ir.eval_number(obj.bounds.radius), 0.0, 0.0], np.float32)
+            if material_is_emissive(mid):
+                print(
+                    "Warning: emissive, distance estimated shapes may not "
+                    "always produce correct results."
+                )
             scene.de_shapes.append(
                 DEShape(
                     estimator=estimator,
