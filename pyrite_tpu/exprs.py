@@ -63,11 +63,17 @@ class CompiledProgram:
 
 
 class Resources:
-    """Shared spectrum/texture lookups for program compilation."""
+    """Shared spectrum/texture lookups for program compilation.
+
+    Texture data lives in ``store`` (key -> array). Inside a jitted render
+    step the Scene temporarily swaps ``store`` for a dict of tracers so the
+    image data travels as jit *arguments* instead of being baked into the
+    compiled program as constants (which blows up compile payloads)."""
 
     def __init__(self, texture_loader=None):
         self.texture_loader = texture_loader
         self._spectrum_cache: dict[int, object] = {}
+        self.store: dict[str, object] = {}
 
     def spectrum(self, spec: ir.SpectrumIR):
         cached = self._spectrum_cache.get(id(spec))
@@ -82,11 +88,39 @@ class Resources:
         self._spectrum_cache[id(spec)] = s
         return s
 
-    def color_texture(self, path: str, linear: bool) -> np.ndarray:
-        return self.texture_loader.load_color(path, linear).data
+    def color_texture(self, path: str, linear: bool):
+        key = f"color:{path}:{bool(linear)}"
+        if key not in self.store:
+            self.store[key] = self.texture_loader.load_color(path, linear).data
+        return self.store[key]
 
-    def mono_texture(self, path: str, linear: bool) -> np.ndarray:
-        return self.texture_loader.load_mono(path, linear).data
+    def mono_texture(self, path: str, linear: bool):
+        key = f"mono:{path}:{bool(linear)}"
+        if key not in self.store:
+            self.store[key] = self.texture_loader.load_mono(path, linear).data
+        return self.store[key]
+
+    def preload(self, expr):
+        """Eagerly register every texture an expression references so the
+        store's key set is fixed before the first jit trace."""
+        from .project import ir as _ir
+
+        if not isinstance(expr, _ir.ComplexExpression):
+            return
+        seen = set()
+        stack = [expr]
+        while stack:
+            node = stack.pop()
+            if not isinstance(node, _ir.ComplexExpression) or id(node) in seen:
+                continue
+            seen.add(id(node))
+            if node.kind == "color_texture":
+                self.color_texture(node.fields["path"], node.fields["linear"])
+            elif node.kind == "mono_texture":
+                self.mono_texture(node.fields["path"], node.fields["linear"])
+            for value in node.fields.values():
+                if isinstance(value, _ir.ComplexExpression):
+                    stack.append(value)
 
 
 # --- value plumbing -----------------------------------------------------------
@@ -239,6 +273,7 @@ def compile_program(
 
     # Static pass for wavelength usage of the *output* value.
     uses_wl = _expr_uses_wavelength(expr, output_type)
+    resources.preload(expr)
 
     def fn(inputs: ProgramInputs):
         cache: dict[int, _Value] = {}

@@ -138,3 +138,43 @@ def load_obj(path: str):
         )
     finally:
         lib.pyrite_obj_free(handle)
+
+
+def build_bvh_clustered(prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int):
+    """Clustered SAH build: leaves hold contiguous primitive ranges of up to
+    ``leaf_size`` in the returned permutation order.
+
+    Returns (bbox_min, bbox_max, subtree, leaf_start, leaf_count, perm)
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pyrite_build_bvh_clustered"):
+        return None
+    if not hasattr(lib.pyrite_build_bvh_clustered, "_configured"):
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.pyrite_build_bvh_clustered.restype = ctypes.c_int32
+        lib.pyrite_build_bvh_clustered.argtypes = [
+            f32p, f32p, ctypes.c_int32, ctypes.c_int32,
+            f32p, f32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.pyrite_build_bvh_clustered._configured = True
+    count = len(prim_min)
+    cap = max(2 * count - 1, 1)
+    bbox_min = np.empty((cap, 3), np.float32)
+    bbox_max = np.empty((cap, 3), np.float32)
+    subtree = np.empty(cap, np.int32)
+    leaf_start = np.empty(cap, np.int32)
+    leaf_count = np.empty(cap, np.int32)
+    perm = np.empty(count, np.int32)
+    nodes = lib.pyrite_build_bvh_clustered(
+        np.ascontiguousarray(prim_min, np.float32),
+        np.ascontiguousarray(prim_max, np.float32),
+        count, leaf_size,
+        bbox_min, bbox_max, subtree, leaf_start, leaf_count, perm,
+    )
+    if nodes <= 0:
+        return None
+    return (
+        bbox_min[:nodes], bbox_max[:nodes], subtree[:nodes],
+        leaf_start[:nodes], leaf_count[:nodes], perm,
+    )

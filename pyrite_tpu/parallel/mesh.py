@@ -37,19 +37,20 @@ def device_film_buffers(film, mesh: Mesh):
 
 
 def sharded_render_step(step_fn, mesh: Mesh):
-    """Lift a single-device render step (acc, wt, key) -> (acc, wt) onto the
-    mesh: each device advances its own film shard with its own RNG key.
-    One call renders D samples (one per device)."""
+    """Lift a single-device render step (acc, wt, key, data) -> (acc, wt)
+    onto the mesh: each device advances its own film shard with its own RNG
+    key; the scene data pytree is replicated. One call renders D samples
+    (one per device)."""
     axis = mesh.axis_names[0]
 
-    def per_device(acc, wt, keys):
-        acc2, wt2 = step_fn(acc[0], wt[0], keys[0])
+    def per_device(acc, wt, keys, data):
+        acc2, wt2 = step_fn(acc[0], wt[0], keys[0], data)
         return acc2[None], wt2[None]
 
     mapped = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis)),
         check_rep=False,
     )

@@ -156,7 +156,8 @@ def make_render_step(
         max_de_steps=cfg.max_de_steps,
     )
 
-    def chunk_step(acc, wt, key, row0):
+    def chunk_step(acc, wt, key, row0, data):
+      with scene.bind(data):
         positions, origin, direction, wavelengths = chunk_rays(
             film, camera, cfg, key, row0=row0, rows=rows_per_chunk
         )
@@ -324,6 +325,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
 
     acc, wt = film.new_buffers()
+    data = scene.device_data()
     key = jax.random.PRNGKey(seed)
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
@@ -331,7 +333,9 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     chunks = film.height // rows
     for i in range(total):
         for c in range(chunks):
-            acc, wt = step(acc, wt, jax.random.fold_in(key, i * chunks + c), c * rows)
+            acc, wt = step(
+                acc, wt, jax.random.fold_in(key, i * chunks + c), c * rows, data
+            )
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt

@@ -292,7 +292,8 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         }
 
     @jax.jit
-    def camera_step(acc, wt, key):
+    def camera_step(acc, wt, key, data):
+      with scene.bind(data):
         positions, origin, direction, wavelengths = chunk_rays(film, camera, cfg, key)
         k_t = jax.random.fold_in(key, 3)
         state, recorded = _record_camera_vertices(
@@ -313,24 +314,28 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         return acc, wt, recorded, positions, wavelengths
 
     @jax.jit
-    def gather_step(acc, wt, key, recorded, positions, wavelengths):
-        photons = photon_batch(key, settings.photons)
-        return _gather(
-            scene, film, cfg, radius, photon_probability, recorded,
-            wavelengths, photons, acc, wt, positions,
-        )
+    def gather_step(acc, wt, key, recorded, positions, wavelengths, data):
+        with scene.bind(data):
+            photons = photon_batch(key, settings.photons)
+            return _gather(
+                scene, film, cfg, radius, photon_probability, recorded,
+                wavelengths, photons, acc, wt, positions,
+            )
 
     acc, wt = film.new_buffers()
     key = jax.random.PRNGKey(seed)
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
+    data = scene.device_data()
     for i in range(total):
         k_i = jax.random.fold_in(key, i)
-        acc, wt, recorded, positions, wavelengths = camera_step(acc, wt, k_i)
+        acc, wt, recorded, positions, wavelengths = camera_step(acc, wt, k_i, data)
         for p in range(settings.photon_passes):
             k_p = jax.random.fold_in(k_i, 1000 + p)
-            acc, wt = gather_step(acc, wt, k_p, recorded, positions, wavelengths)
+            acc, wt = gather_step(
+                acc, wt, k_p, recorded, positions, wavelengths, data
+            )
         if on_progress is not None:
             on_progress(
                 RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film)

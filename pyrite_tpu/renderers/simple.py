@@ -53,21 +53,29 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
 
 
 def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig):
-    """Build the jitted one-sample-per-pixel accumulation step."""
+    """Build the jitted one-sample-per-pixel accumulation step.
 
-    def step(acc, wt, key):
-        positions, origin, direction, wavelengths = chunk_rays(film, camera, cfg, key)
-        k_trace = jax.random.fold_in(key, 7)
-        brightness, aux_alive = trace_paths(
-            scene, cfg, k_trace, origin, direction, wavelengths
-        )
-        n, s = brightness.shape
-        mask = jnp.concatenate(
-            [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s - 1))],
-            axis=1,
-        )
-        weights = jnp.ones_like(brightness)
-        return film.expose(acc, wt, positions, wavelengths, brightness, weights, mask)
+    The step takes the scene's device data as an argument (scene.device_data())
+    so geometry and texture arrays are jit inputs, not compiled constants."""
+
+    def step(acc, wt, key, data):
+        with scene.bind(data):
+            positions, origin, direction, wavelengths = chunk_rays(
+                film, camera, cfg, key
+            )
+            k_trace = jax.random.fold_in(key, 7)
+            brightness, aux_alive = trace_paths(
+                scene, cfg, k_trace, origin, direction, wavelengths
+            )
+            n, s = brightness.shape
+            mask = jnp.concatenate(
+                [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s - 1))],
+                axis=1,
+            )
+            weights = jnp.ones_like(brightness)
+            return film.expose(
+                acc, wt, positions, wavelengths, brightness, weights, mask
+            )
 
     return jax.jit(step, donate_argnums=(0, 1))
 
@@ -100,12 +108,13 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     step = make_render_step(scene, film, camera, cfg)
 
     acc, wt = film.new_buffers()
+    data = scene.device_data()
     key = jax.random.PRNGKey(seed)
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
     for i in range(total):
-        acc, wt = step(acc, wt, jax.random.fold_in(key, i))
+        acc, wt = step(acc, wt, jax.random.fold_in(key, i), data)
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt

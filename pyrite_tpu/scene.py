@@ -9,6 +9,7 @@ compensation), and the BVH is built on host and flattened to skip links.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
@@ -36,6 +37,10 @@ LAMP_TRIANGLE = 3
 # primitive kinds in the BVH
 PRIM_TRIANGLE = 0
 PRIM_SPHERE = 1
+
+# above this many primitives, dense sweeps lose to a clustered BVH
+CLUSTER_THRESHOLD = 4096
+CLUSTER_LEAF = 64
 
 
 def _mul_expr(lhs, rhs):
@@ -156,10 +161,33 @@ class Scene:
         self.num_materials = 0
         self.max_components = 1
         self.bvh_nodes = 0
+        self.use_clusters = False
+        self.cluster_nodes = 0
 
     @property
     def num_primitives(self):
         return self.num_triangles + self.num_spheres
+
+    def device_data(self):
+        """All device-resident data as a pytree, passed through jit as
+        arguments so large scenes/textures never become HLO constants."""
+        return {
+            "arrays": dict(self.arrays),
+            "textures": dict(self.resources.store),
+        }
+
+    @contextlib.contextmanager
+    def bind(self, data):
+        """Temporarily swap in (traced) device data during a jit trace."""
+        old_arrays = self.arrays
+        old_store = self.resources.store
+        self.arrays = data["arrays"]
+        self.resources.store = data["textures"]
+        try:
+            yield
+        finally:
+            self.arrays = old_arrays
+            self.resources.store = old_store
 
 
 def _look_at_matrix(look: ir.LookAt) -> np.ndarray:
@@ -545,8 +573,36 @@ def build_scene(project_data) -> Scene:
         s_hi = np.zeros((0, 3), np.float32)
     prim_lo = np.concatenate([t_lo, s_lo])
     prim_hi = np.concatenate([t_hi, s_hi])
-    flat = bvh_mod.build_bvh(prim_lo, prim_hi)
-    scene.bvh_nodes = flat.num_nodes
+
+    # Large scenes traverse a clustered BVH: compact top-level tree whose
+    # leaves are contiguous ranges of up to CLUSTER_LEAF primitives, tested
+    # with dense (vectorizable) sweeps. Small scenes skip the tree entirely
+    # (dense sweep over everything), so the classic flat BVH is only a
+    # fallback when the native builder is unavailable.
+    scene.use_clusters = False
+    total_prims = num_tris + num_sph
+    flat = None
+    if total_prims > CLUSTER_THRESHOLD:
+        try:
+            from . import native
+
+            clustered = native.build_bvh_clustered(prim_lo, prim_hi, CLUSTER_LEAF)
+        except Exception:
+            clustered = None
+        if clustered is not None:
+            cl_min, cl_max, cl_subtree, cl_start, cl_count, perm = clustered
+            prim_kind = prim_kind[perm]
+            prim_ref = prim_ref[perm]
+            scene.use_clusters = True
+            scene.cluster_nodes = len(cl_subtree)
+            scene.arrays["clu_bbox_min"] = jnp.asarray(cl_min)
+            scene.arrays["clu_bbox_max"] = jnp.asarray(cl_max)
+            scene.arrays["clu_subtree"] = jnp.asarray(cl_subtree)
+            scene.arrays["clu_leaf_start"] = jnp.asarray(cl_start)
+            scene.arrays["clu_leaf_count"] = jnp.asarray(cl_count)
+    if flat is None and not scene.use_clusters:
+        flat = bvh_mod.build_bvh(prim_lo, prim_hi)
+    scene.bvh_nodes = 0 if scene.use_clusters else flat.num_nodes
 
     def as_jnp(x, dtype=jnp.float32):
         return jnp.asarray(np.asarray(x, dtype))
@@ -578,10 +634,11 @@ def build_scene(project_data) -> Scene:
     a["pla_mat"] = pad1(pla_mat, np.int32)
     scene.num_planes = len(pla_normal)
 
-    a["bvh_bbox_min"] = pad1(flat.bbox_min, np.float32, 0, (3,))
-    a["bvh_bbox_max"] = pad1(flat.bbox_max, np.float32, 0, (3,))
-    a["bvh_subtree"] = pad1(flat.subtree_size, np.int32)
-    a["bvh_prim"] = pad1(flat.prim_index, np.int32, -1)
+    if flat is not None:
+        a["bvh_bbox_min"] = pad1(flat.bbox_min, np.float32, 0, (3,))
+        a["bvh_bbox_max"] = pad1(flat.bbox_max, np.float32, 0, (3,))
+        a["bvh_subtree"] = pad1(flat.subtree_size, np.int32)
+        a["bvh_prim"] = pad1(flat.prim_index, np.int32, -1)
     a["prim_kind"] = pad1(prim_kind, np.int32)
     a["prim_ref"] = pad1(prim_ref, np.int32)
 

@@ -307,7 +307,12 @@ def intersect_shadow(scene: Scene, origin, direction, cfg: TraceConfig):
         )
         t_best = jnp.minimum(t_best, jnp.min(jnp.where(hit, t, jnp.inf), axis=1))
 
-    if 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
+    if scene.use_clusters:
+        t_state = _cluster_traverse(
+            scene, origin, direction, {"t": t_best}, _cluster_leaf_shadow(scene)
+        )
+        t_best = t_state["t"]
+    elif 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
         if scene.num_triangles > 0:
             for c0 in range(0, scene.num_triangles, _BRUTE_CHUNK):
                 c1 = min(c0 + _BRUTE_CHUNK, scene.num_triangles)
@@ -374,8 +379,13 @@ def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
         best["kind"] = jnp.where(better, KIND_PLANE, best["kind"])
         best["idx"] = jnp.where(better, pi.astype(jnp.int32), best["idx"])
 
-    # finite primitives: dense sweep for small scenes, BVH for large ones
-    if 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
+    # finite primitives: clustered BVH for large scenes, dense sweep for
+    # small ones, classic flat BVH as the no-native fallback
+    if scene.use_clusters:
+        best = _cluster_traverse(
+            scene, origin, direction, best, _cluster_leaf_closest(scene)
+        )
+    elif 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
         if scene.num_triangles > 0:
             best = _brute_force_triangles(scene, origin, direction, best)
         if scene.num_spheres > 0:
@@ -722,7 +732,11 @@ def sample_lamp(scene: Scene, lamp_idx, target, u):
         cone_dir = geom.sample_cone(
             u[:, 0], u[:, 1], geom.normalize(dir_to_c), cos_theta_max
         )
-        cone_hit, cone_t = geom.ray_sphere(target, cone_dir, s_center, s_radius)
+        # the cone is computed from the epsilon-reduced radius but the sample
+        # point comes from intersecting the FULL sphere (shapes/mod.rs:209-238
+        # shadows only the local radius), so shadow rays that re-hit the lamp
+        # land at the same distance and pass the occlusion test
+        cone_hit, cone_t = geom.ray_sphere(target, cone_dir, s_center, s_radius_full)
         cone_t = jnp.where(cone_hit, cone_t, 0.0)  # the reference's "cheat" fallback
         sph_point_out = target + cone_dir * cone_t[:, None]
         # inside: uniform surface point (full radius)
@@ -1386,3 +1400,118 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
     path["brdf_limit"] = recorded["brdf_scatter"][:, -1]
     path["length"] = jnp.sum(path["valid"].astype(jnp.int32), axis=1)
     return path
+
+
+# =============================================================================
+# Clustered-BVH traversal (large scenes)
+# =============================================================================
+
+CLUSTER_LEAF = 64
+
+
+def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_update):
+    """Walk the clustered skip-link BVH per ray (vmapped while_loop); leaves
+    are dense sweeps of up to CLUSTER_LEAF contiguous primitives, which keeps
+    the serial per-node walk short and the leaf work fully vectorized."""
+    a = scene.arrays
+    bbox_min = a["clu_bbox_min"]
+    bbox_max = a["clu_bbox_max"]
+    subtree = a["clu_subtree"]
+    leaf_start = a["clu_leaf_start"]
+    leaf_count = a["clu_leaf_count"]
+    max_nodes = scene.cluster_nodes
+
+    inv_dir = 1.0 / direction
+
+    def per_ray(o, d, inv, state):
+        def cond(carry):
+            cursor, _ = carry
+            return cursor < max_nodes
+
+        def body(carry):
+            cursor, state = carry
+            hit, entry = bvh_mod.aabb_entry_distance(
+                bbox_min[cursor], bbox_max[cursor], o, inv
+            )
+            useful = hit & (entry < state["t"])
+            start = leaf_start[cursor]
+            count = leaf_count[cursor]
+            is_leaf = count > 0
+
+            # unconditional leaf sweep, masked in (lax.cond would make vmap
+            # broadcast the primitive arrays across the batch dimension)
+            take = useful & is_leaf
+            updated = leaf_update(jnp.maximum(start, 0), count, o, d, state)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(take, new, old), updated, state
+            )
+            step = jnp.where(useful | is_leaf, 1, subtree[cursor] + 1)
+            return cursor + step, state
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state
+
+    return jax.vmap(per_ray)(origin, direction, inv_dir, init_state)
+
+
+def _cluster_leaf_closest(scene: Scene):
+    """Leaf sweep callback for closest-hit queries."""
+    a = scene.arrays
+    prim_kind = a["prim_kind"]
+    prim_ref = a["prim_ref"]
+    tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
+    sph_center, sph_radius = a["sph_center"], a["sph_radius"]
+    lanes = jnp.arange(CLUSTER_LEAF)
+
+    def leaf_update(start, count, o, d, state):
+        idx = jnp.minimum(start + lanes, prim_kind.shape[0] - 1)
+        in_leaf = lanes < count
+        kind = prim_kind[idx]
+        ref = prim_ref[idx]
+        tri_ok, tri_t, u, v = geom.ray_triangle(
+            o[None], d[None], tri_v0[ref], tri_e1[ref], tri_e2[ref]
+        )
+        sph_ok, sph_t = geom.ray_sphere(o[None], d[None], sph_center[ref], sph_radius[ref])
+        is_tri = kind == PRIM_TRIANGLE
+        ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
+        t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
+        j = jnp.argmin(t)
+        better = t[j] < state["t"]
+        return {
+            "t": jnp.where(better, t[j], state["t"]),
+            "kind": jnp.where(
+                better,
+                jnp.where(is_tri[j], KIND_TRIANGLE, KIND_SPHERE),
+                state["kind"],
+            ),
+            "idx": jnp.where(better, ref[j], state["idx"]),
+            "u": jnp.where(better, u[j], state["u"]),
+            "v": jnp.where(better, v[j], state["v"]),
+        }
+
+    return leaf_update
+
+
+def _cluster_leaf_shadow(scene: Scene):
+    a = scene.arrays
+    prim_kind = a["prim_kind"]
+    prim_ref = a["prim_ref"]
+    tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
+    sph_center, sph_radius = a["sph_center"], a["sph_radius"]
+    lanes = jnp.arange(CLUSTER_LEAF)
+
+    def leaf_update(start, count, o, d, state):
+        idx = jnp.minimum(start + lanes, prim_kind.shape[0] - 1)
+        in_leaf = lanes < count
+        kind = prim_kind[idx]
+        ref = prim_ref[idx]
+        tri_ok, tri_t, _, _ = geom.ray_triangle(
+            o[None], d[None], tri_v0[ref], tri_e1[ref], tri_e2[ref]
+        )
+        sph_ok, sph_t = geom.ray_sphere(o[None], d[None], sph_center[ref], sph_radius[ref])
+        is_tri = kind == PRIM_TRIANGLE
+        ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
+        t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
+        return {"t": jnp.minimum(state["t"], jnp.min(t))}
+
+    return leaf_update
