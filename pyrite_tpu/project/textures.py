@@ -31,8 +31,10 @@ def load_texture(path: str, linear: bool, mono: bool) -> TextureData:
         print(f"Warning: texture '{path}' not found; using a placeholder.")
         if mono:
             return TextureData(data=np.full((2, 2), 0.5, np.float32))
+        # (0.5, 0.5, 1.0): mid-gray-blue that decodes to the neutral normal
+        # (0, 0, 1) when the texture is used as a normal map
         data = np.full((2, 2, 4), 0.5, np.float32)
-        data[:, :, 3] = 1.0
+        data[:, :, 2:] = 1.0
         return TextureData(data=data)
     img = PILImage.open(path)
     if img.mode in ("I;16", "I"):

@@ -571,7 +571,8 @@ def apply_normal_maps(scene: Scene, mat_id, normal, quat, inputs: ProgramInputs)
             vec = vec[:, 0, :]
         vec = jnp.broadcast_to(vec, (normal.shape[0], 4))[:, :3]
         mapped = geom.normalize(geom.quat_rotate(quat, vec))
-        out = jnp.where(mask, mapped, out)
+        degenerate = geom.dot(vec, vec) < 1e-12
+        out = jnp.where(mask & ~degenerate[:, None], mapped, out)
     return out
 
 
