@@ -1410,10 +1410,15 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 CLUSTER_LEAF = 64
 
 
-def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_update):
-    """Walk the clustered skip-link BVH per ray (vmapped while_loop); leaves
-    are dense sweeps of up to CLUSTER_LEAF contiguous primitives, which keeps
-    the serial per-node walk short and the leaf work fully vectorized."""
+def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
+    """Two-phase clustered-BVH traversal.
+
+    Phase a (per-lane while_loop, cheap): walk the skip-link tree to the next
+    leaf whose AABB the ray enters closer than its current best hit. Phase b
+    (vectorized across the wavefront): dense sweep of that leaf's <=64
+    contiguous primitives. The outer loop repeats until every lane ran off
+    the end of the node array, so the expensive sweeps happen once per
+    *visited leaf*, not per visited node."""
     a = scene.arrays
     bbox_min = a["clu_bbox_min"]
     bbox_max = a["clu_bbox_max"]
@@ -1424,39 +1429,54 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_update):
 
     inv_dir = 1.0 / direction
 
-    def per_ray(o, d, inv, state):
-        def cond(carry):
-            cursor, _ = carry
-            return cursor < max_nodes
-
-        def body(carry):
-            cursor, state = carry
+    def walk_to_leaf(cursor, o, inv, t_best):
+        def classify(cur):
+            in_range = cur < max_nodes
+            node = jnp.minimum(cur, max_nodes - 1)
             hit, entry = bvh_mod.aabb_entry_distance(
-                bbox_min[cursor], bbox_max[cursor], o, inv
+                bbox_min[node], bbox_max[node], o, inv
             )
-            useful = hit & (entry < state["t"])
-            start = leaf_start[cursor]
-            count = leaf_count[cursor]
-            is_leaf = count > 0
+            useful = hit & (entry < t_best) & in_range
+            is_leaf = leaf_count[node] > 0
+            return in_range, useful, is_leaf, subtree[node]
 
-            # unconditional leaf sweep, masked in (lax.cond would make vmap
-            # broadcast the primitive arrays across the batch dimension)
-            take = useful & is_leaf
-            updated = leaf_update(jnp.maximum(start, 0), count, o, d, state)
-            state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(take, new, old), updated, state
-            )
-            step = jnp.where(useful | is_leaf, 1, subtree[cursor] + 1)
-            return cursor + step, state
+        def cond(cur):
+            in_range, useful, is_leaf, _ = classify(cur)
+            return in_range & ~(useful & is_leaf)
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        return state
+        def body(cur):
+            _, useful, is_leaf, sub = classify(cur)
+            return cur + jnp.where(useful | is_leaf, 1, sub + 1)
 
-    return jax.vmap(per_ray)(origin, direction, inv_dir, init_state)
+        return jax.lax.while_loop(cond, body, cursor)
+
+    n = origin.shape[0]
+
+    def outer_cond(carry):
+        cursor, _ = carry
+        return jnp.any(cursor < max_nodes)
+
+    def outer_body(carry):
+        cursor, state = carry
+        cursor = jax.vmap(walk_to_leaf)(cursor, origin, inv_dir, state["t"])
+        at_leaf = cursor < max_nodes
+        node = jnp.minimum(cursor, max_nodes - 1)
+        start = jnp.maximum(leaf_start[node], 0)
+        count = jnp.where(at_leaf, leaf_count[node], 0)
+        updated = leaf_sweep(start, count, origin, direction, state)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(at_leaf, new, old), updated, state
+        )
+        return jnp.where(at_leaf, cursor + 1, cursor), state
+
+    _, state = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.zeros(n, jnp.int32), init_state)
+    )
+    return state
 
 
 def _cluster_leaf_closest(scene: Scene):
-    """Leaf sweep callback for closest-hit queries."""
+    """Vectorized leaf sweep for closest-hit queries: [N, LEAF] tests."""
     a = scene.arrays
     prim_kind = a["prim_kind"]
     prim_ref = a["prim_ref"]
@@ -1464,33 +1484,37 @@ def _cluster_leaf_closest(scene: Scene):
     sph_center, sph_radius = a["sph_center"], a["sph_radius"]
     lanes = jnp.arange(CLUSTER_LEAF)
 
-    def leaf_update(start, count, o, d, state):
-        idx = jnp.minimum(start + lanes, prim_kind.shape[0] - 1)
-        in_leaf = lanes < count
+    def leaf_sweep(start, count, origin, direction, state):
+        idx = jnp.minimum(start[:, None] + lanes[None, :], prim_kind.shape[0] - 1)
+        in_leaf = lanes[None, :] < count[:, None]
         kind = prim_kind[idx]
         ref = prim_ref[idx]
+        o = origin[:, None, :]
+        d = direction[:, None, :]
         tri_ok, tri_t, u, v = geom.ray_triangle(
-            o[None], d[None], tri_v0[ref], tri_e1[ref], tri_e2[ref]
+            o, d, tri_v0[ref], tri_e1[ref], tri_e2[ref]
         )
-        sph_ok, sph_t = geom.ray_sphere(o[None], d[None], sph_center[ref], sph_radius[ref])
+        sph_ok, sph_t = geom.ray_sphere(o, d, sph_center[ref], sph_radius[ref])
         is_tri = kind == PRIM_TRIANGLE
         ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
         t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
-        j = jnp.argmin(t)
-        better = t[j] < state["t"]
+        rows = jnp.arange(t.shape[0])
+        j = jnp.argmin(t, axis=1)
+        tj = t[rows, j]
+        better = tj < state["t"]
         return {
-            "t": jnp.where(better, t[j], state["t"]),
+            "t": jnp.where(better, tj, state["t"]),
             "kind": jnp.where(
                 better,
-                jnp.where(is_tri[j], KIND_TRIANGLE, KIND_SPHERE),
+                jnp.where(is_tri[rows, j], KIND_TRIANGLE, KIND_SPHERE),
                 state["kind"],
             ),
-            "idx": jnp.where(better, ref[j], state["idx"]),
-            "u": jnp.where(better, u[j], state["u"]),
-            "v": jnp.where(better, v[j], state["v"]),
+            "idx": jnp.where(better, ref[rows, j], state["idx"]),
+            "u": jnp.where(better, u[rows, j], state["u"]),
+            "v": jnp.where(better, v[rows, j], state["v"]),
         }
 
-    return leaf_update
+    return leaf_sweep
 
 
 def _cluster_leaf_shadow(scene: Scene):
@@ -1501,18 +1525,21 @@ def _cluster_leaf_shadow(scene: Scene):
     sph_center, sph_radius = a["sph_center"], a["sph_radius"]
     lanes = jnp.arange(CLUSTER_LEAF)
 
-    def leaf_update(start, count, o, d, state):
-        idx = jnp.minimum(start + lanes, prim_kind.shape[0] - 1)
-        in_leaf = lanes < count
+    def leaf_sweep(start, count, origin, direction, state):
+        idx = jnp.minimum(start[:, None] + lanes[None, :], prim_kind.shape[0] - 1)
+        in_leaf = lanes[None, :] < count[:, None]
         kind = prim_kind[idx]
         ref = prim_ref[idx]
+        o = origin[:, None, :]
+        d = direction[:, None, :]
         tri_ok, tri_t, _, _ = geom.ray_triangle(
-            o[None], d[None], tri_v0[ref], tri_e1[ref], tri_e2[ref]
+            o, d, tri_v0[ref], tri_e1[ref], tri_e2[ref]
         )
-        sph_ok, sph_t = geom.ray_sphere(o[None], d[None], sph_center[ref], sph_radius[ref])
+        sph_ok, sph_t = geom.ray_sphere(o, d, sph_center[ref], sph_radius[ref])
         is_tri = kind == PRIM_TRIANGLE
         ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
         t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
-        return {"t": jnp.minimum(state["t"], jnp.min(t))}
+        return {"t": jnp.minimum(state["t"], jnp.min(t, axis=1))}
 
-    return leaf_update
+    return leaf_sweep
+
