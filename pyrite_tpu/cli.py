@@ -87,6 +87,11 @@ def main(argv=None):
     parser.add_argument(
         "--preview-interval", type=float, default=20.0, help="seconds between previews"
     )
+    parser.add_argument(
+        "--multi-device",
+        action="store_true",
+        help="shard samples across all visible devices (simple renderer only)",
+    )
     args = parser.parse_args(argv)
 
     loading_started = time.time()
@@ -130,13 +135,25 @@ def main(argv=None):
             state["last_preview"] = now
 
     rendering_started = time.time()
-    film, acc, wt = algorithm_mod.render(
-        project_data,
-        scene,
-        seed=args.seed,
-        on_progress=on_progress,
-        max_samples=args.samples,
-    )
+    if args.multi_device and algorithm == "simple" and len(jax.devices()) > 1:
+        from .parallel import make_mesh
+
+        film, acc, wt = algorithm_mod.render_sharded(
+            project_data,
+            scene,
+            make_mesh(),
+            seed=args.seed,
+            on_progress=on_progress,
+            max_samples=args.samples,
+        )
+    else:
+        film, acc, wt = algorithm_mod.render(
+            project_data,
+            scene,
+            seed=args.seed,
+            on_progress=on_progress,
+            max_samples=args.samples,
+        )
     jax.block_until_ready(acc)
     rendering_ended = time.time()
 

@@ -118,3 +118,56 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt
+
+
+def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None):
+    """Multi-device rendering: the sample axis is sharded over ``mesh`` (one
+    stratified sample per device per step into per-device film shards), and
+    the film merge is a single all-reduce at development time."""
+    from ..parallel.mesh import (
+        device_film_buffers,
+        merge_films,
+        sharded_render_step,
+        step_keys,
+    )
+
+    project = project_data.project
+    settings = project.renderer
+    film = Film(
+        width=project.image.width,
+        height=project.image.height,
+        bins=settings.spectrum_bins,
+        span=settings.spectrum_span,
+    )
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(
+        bounces=settings.bounces,
+        light_samples=settings.light_samples,
+        spectrum_samples=settings.spectrum_samples,
+    )
+    step = make_render_step(scene, film, camera, cfg)
+    sharded = sharded_render_step(step, mesh)
+
+    n_devices = mesh.devices.size
+    acc, wt = device_film_buffers(film, mesh)
+    data = scene.device_data()
+    key = jax.random.PRNGKey(seed)
+    total = settings.pixel_samples if max_samples is None else min(
+        settings.pixel_samples, max_samples
+    )
+    steps = max(1, total // n_devices)
+    for i in range(steps):
+        acc, wt = sharded(acc, wt, step_keys(key, n_devices, i), data)
+        if on_progress is not None:
+            merged_acc, merged_wt = merge_films(acc, wt)
+            on_progress(
+                RenderProgress(
+                    sample=(i + 1) * n_devices,
+                    total=steps * n_devices,
+                    acc=merged_acc,
+                    wt=merged_wt,
+                    film=film,
+                )
+            )
+    merged_acc, merged_wt = merge_films(acc, wt)
+    return film, merged_acc, merged_wt
