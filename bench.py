@@ -7,6 +7,11 @@ against the north-star target of 100 Mrays/sec/chip (BASELINE.json). Rays
 counted are the ray-scene intersection tests actually executed per render
 step: every bounce runs 1 path-extension intersection plus light_samples
 shadow-ray intersections per wavefront lane.
+
+Timing note: on the axon TPU backend jax.block_until_ready does not reliably
+synchronize, so the measurement brackets K steps between two scalar fetches
+(which do force completion) and subtracts nothing — the fetch cost is
+amortized over K.
 """
 
 import json
@@ -16,34 +21,50 @@ import time
 def main():
     import jax
 
+    from pyrite_tpu.film import Film
     from pyrite_tpu.project import load_project
-    from pyrite_tpu.scene import build_scene
-    from pyrite_tpu.renderers import simple
+    from pyrite_tpu.scene import CameraModel, build_scene
+    from pyrite_tpu.renderers.simple import make_render_step
+    from pyrite_tpu.tracer import TraceConfig
 
     scene_path = "/root/reference/pyrite/test/spheres/spheres.lua"
     project_data = load_project(scene_path)
-    project_data.project.renderer.pixel_samples = 6
     scene = build_scene(project_data)
+    project = project_data.project
+    settings = project.renderer
 
-    settings = project_data.project.renderer
-    width = project_data.project.image.width
-    height = project_data.project.image.height
-    lanes = width * height
+    film = Film(
+        width=project.image.width,
+        height=project.image.height,
+        bins=settings.spectrum_bins,
+        span=settings.spectrum_span,
+    )
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(
+        bounces=settings.bounces,
+        light_samples=settings.light_samples,
+        spectrum_samples=settings.spectrum_samples,
+    )
+    step = make_render_step(scene, film, camera, cfg)
+
+    acc, wt = film.new_buffers()
+    data = scene.device_data()
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile, synchronized by a real fetch
+    acc, wt = step(acc, wt, key, data)
+    float(acc.sum())
+
+    steps = 10
+    t0 = time.time()
+    for i in range(steps):
+        acc, wt = step(acc, wt, jax.random.fold_in(key, i), data)
+    float(acc.sum())  # forces completion of the whole chain
+    elapsed = (time.time() - t0) / steps
+
+    lanes = film.width * film.height
     rays_per_step = lanes * settings.bounces * (1 + settings.light_samples)
-
-    times = []
-
-    def on_progress(progress):
-        jax.block_until_ready(progress.acc)
-        times.append(time.time())
-
-    times.append(time.time())
-    simple.render(project_data, scene, seed=0, on_progress=on_progress)
-
-    # drop the first step (compile); average the rest
-    deltas = [b - a for a, b in zip(times[1:], times[2:])]
-    step_time = sum(deltas) / len(deltas)
-    mrays = rays_per_step / step_time / 1e6
+    mrays = rays_per_step / elapsed / 1e6
 
     print(
         json.dumps(

@@ -52,16 +52,30 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
     return positions, origin, direction, wavelengths
 
 
-def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig):
+def pick_rows(film: Film, scene: Scene) -> int:
+    """Rows per launch: whole film for small scenes; bounded wavefronts for
+    clustered (large-mesh) scenes so a single device launch stays well under
+    the execution watchdog."""
+    if not scene.use_clusters:
+        return film.height
+    budget_lanes = 32768
+    rows = max(1, min(film.height, budget_lanes // film.width))
+    while film.height % rows != 0:
+        rows -= 1
+    return rows
+
+
+def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None):
     """Build the jitted one-sample-per-pixel accumulation step.
 
     The step takes the scene's device data as an argument (scene.device_data())
     so geometry and texture arrays are jit inputs, not compiled constants."""
+    rows = film.height if rows is None else rows
 
-    def step(acc, wt, key, data):
+    def step(acc, wt, key, data, row0=0):
         with scene.bind(data):
             positions, origin, direction, wavelengths = chunk_rays(
-                film, camera, cfg, key
+                film, camera, cfg, key, row0=row0, rows=rows
             )
             k_trace = jax.random.fold_in(key, 7)
             brightness, aux_alive = trace_paths(
@@ -105,7 +119,8 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         light_samples=settings.light_samples,
         spectrum_samples=settings.spectrum_samples,
     )
-    step = make_render_step(scene, film, camera, cfg)
+    rows = pick_rows(film, scene)
+    step = make_render_step(scene, film, camera, cfg, rows=rows)
 
     acc, wt = film.new_buffers()
     data = scene.device_data()
@@ -113,8 +128,12 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
+    chunks = film.height // rows
     for i in range(total):
-        acc, wt = step(acc, wt, jax.random.fold_in(key, i), data)
+        for c in range(chunks):
+            acc, wt = step(
+                acc, wt, jax.random.fold_in(key, i * chunks + c), data, c * rows
+            )
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt

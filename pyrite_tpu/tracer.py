@@ -1411,14 +1411,16 @@ CLUSTER_LEAF = 64
 
 
 def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
-    """Two-phase clustered-BVH traversal.
+    """Batched clustered-BVH traversal (no per-lane loops).
 
-    Phase a (per-lane while_loop, cheap): walk the skip-link tree to the next
-    leaf whose AABB the ray enters closer than its current best hit. Phase b
-    (vectorized across the wavefront): dense sweep of that leaf's <=64
-    contiguous primitives. The outer loop repeats until every lane ran off
-    the end of the node array, so the expensive sweeps happen once per
-    *visited leaf*, not per visited node."""
+    Each outer iteration advances every ray up to WALK_STEPS skip-link node
+    steps (stopping on a leaf whose AABB is entered closer than the current
+    best hit), then runs one vectorized [rays, 64] sweep for the lanes parked
+    on a leaf. Everything is plain masked array math, which both vectorizes
+    on the VPU and avoids vmapped while_loops (which fault on this TPU
+    stack)."""
+    WALK_STEPS = 8
+
     a = scene.arrays
     bbox_min = a["clu_bbox_min"]
     bbox_max = a["clu_bbox_max"]
@@ -1428,29 +1430,17 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
     max_nodes = scene.cluster_nodes
 
     inv_dir = 1.0 / direction
-
-    def walk_to_leaf(cursor, o, inv, t_best):
-        def classify(cur):
-            in_range = cur < max_nodes
-            node = jnp.minimum(cur, max_nodes - 1)
-            hit, entry = bvh_mod.aabb_entry_distance(
-                bbox_min[node], bbox_max[node], o, inv
-            )
-            useful = hit & (entry < t_best) & in_range
-            is_leaf = leaf_count[node] > 0
-            return in_range, useful, is_leaf, subtree[node]
-
-        def cond(cur):
-            in_range, useful, is_leaf, _ = classify(cur)
-            return in_range & ~(useful & is_leaf)
-
-        def body(cur):
-            _, useful, is_leaf, sub = classify(cur)
-            return cur + jnp.where(useful | is_leaf, 1, sub + 1)
-
-        return jax.lax.while_loop(cond, body, cursor)
-
     n = origin.shape[0]
+
+    def classify(cursor, t_best):
+        in_range = cursor < max_nodes
+        node = jnp.minimum(cursor, max_nodes - 1)
+        hit, entry = bvh_mod.aabb_entry_distance(
+            bbox_min[node], bbox_max[node], origin, inv_dir
+        )
+        useful = hit & (entry < t_best) & in_range
+        is_leaf = leaf_count[node] > 0
+        return in_range, useful, is_leaf, subtree[node], node
 
     def outer_cond(carry):
         cursor, _ = carry
@@ -1458,9 +1448,17 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
 
     def outer_body(carry):
         cursor, state = carry
-        cursor = jax.vmap(walk_to_leaf)(cursor, origin, inv_dir, state["t"])
-        at_leaf = cursor < max_nodes
-        node = jnp.minimum(cursor, max_nodes - 1)
+
+        def advance(_, cur):
+            in_range, useful, is_leaf, sub, _ = classify(cur, state["t"])
+            parked = (useful & is_leaf) | ~in_range
+            step = jnp.where(useful | is_leaf, 1, sub + 1)
+            return jnp.where(parked, cur, cur + step)
+
+        cursor = jax.lax.fori_loop(0, WALK_STEPS, advance, cursor)
+
+        in_range, useful, is_leaf, _, node = classify(cursor, state["t"])
+        at_leaf = useful & is_leaf & in_range
         start = jnp.maximum(leaf_start[node], 0)
         count = jnp.where(at_leaf, leaf_count[node], 0)
         updated = leaf_sweep(start, count, origin, direction, state)
