@@ -140,3 +140,34 @@ def expose_sums(film: Film, acc, wt, positions, wavelengths, value_sums, weight_
         jnp.where(ok, weight_sums, 0.0).reshape(-1), mode="drop"
     )
     return acc_flat.reshape(acc.shape), wt_flat.reshape(wt.shape)
+
+
+def expose_lanes(film: Film, acc, wt, row0, wavelengths, brightness, weights, mask):
+    """Scatter-free exposure for the common case where wavefront lanes map
+    1:1 onto film pixels in row-major order starting at row ``row0`` (the
+    renderers trace exactly one jittered sample per pixel per step).
+
+    The only irregular axis left is wavelength -> bin; that becomes a dense
+    one-hot contraction over the S samples, which the TPU handles as vector
+    math instead of a serialized scatter."""
+    n, s = brightness.shape
+    bins = film.wavelength_to_bin(wavelengths)  # [N, S]
+    onehot = (
+        bins[:, :, None] == jnp.arange(film.bins, dtype=bins.dtype)[None, None, :]
+    )
+    v = jnp.where(mask, brightness * weights, 0.0)
+    w = jnp.where(mask, weights, 0.0)
+    onehot_f = onehot.astype(v.dtype)
+    acc_delta = jnp.einsum("ns,nsb->nb", v, onehot_f)
+    wt_delta = jnp.einsum("ns,nsb->nb", w, onehot_f)
+
+    flat_acc = acc.reshape(film.height * film.width, film.bins)
+    flat_wt = wt.reshape(film.height * film.width, film.bins)
+    start = row0 * film.width
+    import jax.lax as lax
+
+    acc_rows = lax.dynamic_slice_in_dim(flat_acc, start, n) + acc_delta
+    wt_rows = lax.dynamic_slice_in_dim(flat_wt, start, n) + wt_delta
+    flat_acc = lax.dynamic_update_slice_in_dim(flat_acc, acc_rows, start, axis=0)
+    flat_wt = lax.dynamic_update_slice_in_dim(flat_wt, wt_rows, start, axis=0)
+    return flat_acc.reshape(acc.shape), flat_wt.reshape(wt.shape)

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..film import Film
+from ..film import Film, expose_lanes
 from ..scene import CameraModel, Scene
 from ..tracer import TraceConfig, trace_paths
 
@@ -27,24 +27,22 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
     h, w = film.height, film.width
     rows = h if rows is None else rows
     n = rows * w
-    k_pos, k_lens1, k_lens2, k_wl, k_hero = jax.random.split(key, 5)
+    s = cfg.spectrum_samples
+
+    # one PRNG draw for everything: jitter (2) + lens (2) + wavelengths (S)
+    # + hero pick (1)
+    u = jax.random.uniform(key, (n, s + 5))
 
     py, px = jnp.meshgrid(row0 + jnp.arange(rows), jnp.arange(w), indexing="ij")
-    jitter = jax.random.uniform(k_pos, (n, 2))
-    pxf = px.reshape(-1) + jitter[:, 0]
-    pyf = py.reshape(-1) + jitter[:, 1]
+    pxf = px.reshape(-1) + u[:, 0]
+    pyf = py.reshape(-1) + u[:, 1]
     positions = film.pixel_to_view(pxf, pyf)
 
-    origin, direction = camera.ray_towards(
-        positions,
-        jax.random.uniform(k_lens1, (n,)),
-        jax.random.uniform(k_lens2, (n,)),
-    )
+    origin, direction = camera.ray_towards(positions, u[:, 2], u[:, 3])
 
-    s = cfg.spectrum_samples
-    wavelengths = film.sample_wavelengths(jax.random.uniform(k_wl, (n, s)))
+    wavelengths = film.sample_wavelengths(u[:, 4 : 4 + s])
     # hero selection: swap a uniformly-chosen column into slot 0
-    hero = jax.random.randint(k_hero, (n,), 0, s)
+    hero = jnp.minimum((u[:, 4 + s] * s).astype(jnp.int32), s - 1)
     cols = jnp.arange(s)[None, :]
     take = jnp.where(cols == 0, hero[:, None], jnp.where(cols == hero[:, None], 0, cols))
     wavelengths = jnp.take_along_axis(wavelengths, take, axis=1)
@@ -87,8 +85,8 @@ def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCo
                 axis=1,
             )
             weights = jnp.ones_like(brightness)
-            return film.expose(
-                acc, wt, positions, wavelengths, brightness, weights, mask
+            return expose_lanes(
+                film, acc, wt, row0, wavelengths, brightness, weights, mask
             )
 
     return jax.jit(step, donate_argnums=(0, 1))
