@@ -79,7 +79,7 @@ def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
             "normal": info["normal"],
             "incident": info["incident"],
             "partialR": partialR,
-            "dispersed": jnp.zeros(n, bool),
+            "dispersed": info["dispersed"],
         }
         return (new_state, new_chainR), vertex
 
@@ -145,6 +145,7 @@ def _gather(
         normal = cam["normal"][:, b]
         incident = cam["incident"][:, b]
         partialR = cam["partialR"][:, b]  # [N, S]
+        cam_dispersed = cam["dispersed"][:, b]
 
         _, q_cell = _hash_cells(pos, radius)
         bins = film.wavelength_to_bin(cam_wavelengths)  # [N, S]
@@ -170,6 +171,8 @@ def _gather(
             d2 = jnp.sum((p_pos[pj] - pos) ** 2, axis=-1)
             match &= d2 <= radius * radius
             match &= valid
+            # both chains dispersed -> pair skipped (photon_mapping.rs:355)
+            match &= ~(cam_dispersed & photons["dispersed"][pj])
 
             exit_dir = -photons["incident"][pj]  # [N, 3]
             w_geom = jnp.maximum(jnp.sum(exit_dir * normal, axis=-1), 0.0)
@@ -288,6 +291,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
             "incident": flat(inc),
             "power_bins": power.reshape(count * n_slots, settings.spectrum_bins),
             "valid": flat(path["valid"] & path["is_diffuse"]),
+            "dispersed": flat(path["dispersed"]),
             "darkness_denom": darkness_denom,
         }
 

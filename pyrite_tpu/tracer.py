@@ -1143,6 +1143,7 @@ def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
             "color_prob": refl_color * path_prob[:, None],
             "reflected": reflected,
             "is_diffuse": sc["is_diffuse"] & reflected,
+            "dispersed": bounce_dispersed & reflected,
             # a vertex was recorded on this bounce (reflection, emission
             # while sampling lights, or a miss) -> counts toward path length
             "recorded": reflected | emit_now | miss,
