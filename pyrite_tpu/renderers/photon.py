@@ -332,11 +332,17 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         settings.pixel_samples, max_samples
     )
     data = scene.device_data()
+    import numpy as np
+
+    all_keys = np.asarray(
+        jax.random.split(key, total * (1 + settings.photon_passes))
+    )
+    cursor = 0
     for i in range(total):
-        k_i = jax.random.fold_in(key, i)
+        k_i = all_keys[cursor]; cursor += 1
         acc, wt, recorded, positions, wavelengths = camera_step(acc, wt, k_i, data)
         for p in range(settings.photon_passes):
-            k_p = jax.random.fold_in(k_i, 1000 + p)
+            k_p = all_keys[cursor]; cursor += 1
             acc, wt = gather_step(
                 acc, wt, k_p, recorded, positions, wavelengths, data
             )

@@ -122,16 +122,18 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
 
     acc, wt = film.new_buffers()
     data = scene.device_data()
-    key = jax.random.PRNGKey(seed)
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
     chunks = film.height // rows
+    # all step keys in one device op: per-step fold_in would pay the host
+    # dispatch round-trip between every step
+    import numpy as np
+
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
     for i in range(total):
         for c in range(chunks):
-            acc, wt = step(
-                acc, wt, jax.random.fold_in(key, i * chunks + c), data, c * rows
-            )
+            acc, wt = step(acc, wt, keys[i * chunks + c], data, c * rows)
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt
