@@ -295,10 +295,16 @@ def make_render_step(
     return jax.jit(chunk_step, donate_argnums=(0, 1))
 
 
-def pick_rows_per_chunk(film: Film, light_bounces: int, spectrum_samples: int) -> int:
+def pick_rows_per_chunk(
+    film: Film, light_bounces: int, spectrum_samples: int, scene=None, bounces=8
+) -> int:
     budget_lanes = max(
         film.width, _LANE_BUDGET // ((light_bounces + 1) * spectrum_samples)
     )
+    if scene is not None and scene.use_clusters:
+        budget_lanes = min(budget_lanes, 32768)
+    if bounces > 32:
+        budget_lanes = min(budget_lanes, max(film.width, 2_097_152 // bounces))
     rows = max(1, min(film.height, budget_lanes // film.width))
     # use a divisor of height so all chunks share one compiled shape
     while film.height % rows != 0:
@@ -321,7 +327,13 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         light_samples=settings.light_samples,
         spectrum_samples=settings.spectrum_samples,
     )
-    rows = pick_rows_per_chunk(film, settings.light_bounces, settings.spectrum_samples)
+    rows = pick_rows_per_chunk(
+        film,
+        settings.light_bounces,
+        settings.spectrum_samples,
+        scene=scene,
+        bounces=settings.bounces,
+    )
     step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
 
     acc, wt = film.new_buffers()

@@ -50,13 +50,15 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
     return positions, origin, direction, wavelengths
 
 
-def pick_rows(film: Film, scene: Scene) -> int:
+def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None) -> int:
     """Rows per launch: whole film for small scenes; bounded wavefronts for
-    clustered (large-mesh) scenes so a single device launch stays well under
-    the execution watchdog."""
-    if not scene.use_clusters:
-        return film.height
-    budget_lanes = 32768
+    clustered (large-mesh) scenes and very deep paths, so a single device
+    launch stays well under the execution watchdog."""
+    budget_lanes = film.height * film.width
+    if scene.use_clusters:
+        budget_lanes = min(budget_lanes, 32768)
+    if cfg is not None and cfg.bounces > 32:
+        budget_lanes = min(budget_lanes, max(film.width, 4_194_304 // cfg.bounces))
     rows = max(1, min(film.height, budget_lanes // film.width))
     while film.height % rows != 0:
         rows -= 1
@@ -117,7 +119,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         light_samples=settings.light_samples,
         spectrum_samples=settings.spectrum_samples,
     )
-    rows = pick_rows(film, scene)
+    rows = pick_rows(film, scene, cfg)
     step = make_render_step(scene, film, camera, cfg, rows=rows)
 
     acc, wt = film.new_buffers()
