@@ -92,6 +92,13 @@ def main(argv=None):
         action="store_true",
         help="shard samples across all visible devices (simple renderer only)",
     )
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="film checkpoint path (.npz): resumed from if present, written "
+        "at every preview interval (the reference loses all accumulation on "
+        "a crash; this does not)",
+    )
     args = parser.parse_args(argv)
 
     loading_started = time.time()
@@ -124,6 +131,16 @@ def main(argv=None):
 
     state = {"last_preview": time.time()}
 
+    resume = None
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        loaded = np.load(args.checkpoint)
+        resume = {
+            "acc": loaded["acc"],
+            "wt": loaded["wt"],
+            "samples_done": int(loaded["samples_done"]),
+        }
+        print(f"Resuming from {args.checkpoint} ({resume['samples_done']} samples done)")
+
     def on_progress(progress):
         pct = progress.sample * 100 // progress.total
         print(f"\rRendering: {pct:3d}% ({progress.sample}/{progress.total})", end="")
@@ -131,6 +148,13 @@ def main(argv=None):
         if now - state["last_preview"] >= args.preview_interval:
             img = progress.film.to_image(progress.acc, progress.wt, 30.0, sample_fn)
             save_png(render_path, img)
+            if args.checkpoint:
+                np.savez(
+                    args.checkpoint,
+                    acc=np.asarray(progress.acc),
+                    wt=np.asarray(progress.wt),
+                    samples_done=progress.sample,
+                )
             print(f"  [preview written to {render_path}]")
             state["last_preview"] = now
 
@@ -153,9 +177,19 @@ def main(argv=None):
             seed=args.seed,
             on_progress=on_progress,
             max_samples=args.samples,
+            resume=resume,
         )
-    jax.block_until_ready(acc)
+    float(acc.sum())  # axon: only a fetch forces completion
     rendering_ended = time.time()
+
+    samples = args.samples or settings.pixel_samples
+    lanes = project_data.project.image.width * project_data.project.image.height
+    rays = lanes * samples * settings.bounces * (1 + settings.light_samples)
+    elapsed = rendering_ended - rendering_started
+    print(
+        f"\nThroughput: {rays / max(elapsed, 1e-9) / 1e6:.1f} Mrays/s "
+        f"({samples / max(elapsed, 1e-9):.2f} spp/s), wall {elapsed:.1f}s"
+    )
 
     print("\nSaving final result...")
     img = film.to_image(acc, wt, 2.0, sample_fn)

@@ -312,7 +312,7 @@ def pick_rows_per_chunk(
     return rows
 
 
-def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None):
+def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
     project = project_data.project
     settings = project.renderer
     film = Film(
@@ -337,6 +337,13 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
 
     acc, wt = film.new_buffers()
+    start_sample = 0
+    if resume is not None:
+        import jax.numpy as _jnp
+
+        acc = _jnp.asarray(resume["acc"])
+        wt = _jnp.asarray(resume["wt"])
+        start_sample = resume["samples_done"]
     data = scene.device_data()
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
@@ -345,7 +352,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     import numpy as np
 
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
-    for i in range(total):
+    for i in range(start_sample, total):
         for c in range(chunks):
             acc, wt = step(acc, wt, keys[i * chunks + c], c * rows, data)
         if on_progress is not None:

@@ -226,7 +226,7 @@ def _gather(
     return acc, wt
 
 
-def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None):
+def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
     project = project_data.project
     settings = project.renderer
     film = Film(
@@ -331,6 +331,11 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
+    start_sample = 0
+    if resume is not None:
+        acc = jnp.asarray(resume["acc"])
+        wt = jnp.asarray(resume["wt"])
+        start_sample = resume["samples_done"]
     data = scene.device_data()
     import numpy as np
 
@@ -339,6 +344,9 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     )
     cursor = 0
     for i in range(total):
+        if i < start_sample:
+            cursor += 1 + settings.photon_passes
+            continue
         k_i = all_keys[cursor]; cursor += 1
         acc, wt, recorded, positions, wavelengths = camera_step(acc, wt, k_i, data)
         for p in range(settings.photon_passes):

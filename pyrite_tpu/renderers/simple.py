@@ -103,7 +103,7 @@ class RenderProgress:
     film: object
 
 
-def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None):
+def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
     """Render the project with the simple algorithm; returns (film, acc, wt)."""
     project = project_data.project
     settings = project.renderer
@@ -123,6 +123,13 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     step = make_render_step(scene, film, camera, cfg, rows=rows)
 
     acc, wt = film.new_buffers()
+    start_sample = 0
+    if resume is not None:
+        import jax.numpy as _jnp
+
+        acc = _jnp.asarray(resume["acc"])
+        wt = _jnp.asarray(resume["wt"])
+        start_sample = resume["samples_done"]
     data = scene.device_data()
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
@@ -133,7 +140,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     import numpy as np
 
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
-    for i in range(total):
+    for i in range(start_sample, total):
         for c in range(chunks):
             acc, wt = step(acc, wt, keys[i * chunks + c], data, c * rows)
         if on_progress is not None:
