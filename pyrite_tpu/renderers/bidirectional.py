@@ -303,8 +303,12 @@ def pick_rows_per_chunk(
     )
     if scene is not None and scene.use_clusters:
         budget_lanes = min(budget_lanes, 32768)
-    if bounces > 32:
-        budget_lanes = min(budget_lanes, max(film.width, 2_097_152 // bounces))
+    elif scene is not None and scene.num_primitives > 128:
+        budget = 3_000_000_000
+        per_lane = max(scene.num_primitives, 1) * max(bounces, 1) * (
+            2 + light_bounces
+        )
+        budget_lanes = min(budget_lanes, max(film.width, budget // per_lane))
     rows = max(1, min(film.height, budget_lanes // film.width))
     # use a divisor of height so all chunks share one compiled shape
     while film.height % rows != 0:

@@ -51,14 +51,20 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
 
 
 def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None) -> int:
-    """Rows per launch: whole film for small scenes; bounded wavefronts for
-    clustered (large-mesh) scenes and very deep paths, so a single device
-    launch stays well under the execution watchdog."""
+    """Rows per launch, sized so one device launch stays far under the
+    execution watchdog: the test budget bounds lanes x prims x bounces x
+    (1 + light_samples) per launch."""
     budget_lanes = film.height * film.width
     if scene.use_clusters:
         budget_lanes = min(budget_lanes, 32768)
-    if cfg is not None and cfg.bounces > 32:
-        budget_lanes = min(budget_lanes, max(film.width, 4_194_304 // cfg.bounces))
+    elif cfg is not None and scene.num_primitives > 128:
+        budget = 6_000_000_000
+        per_lane = (
+            max(scene.num_primitives, 1)
+            * max(cfg.bounces, 1)
+            * (1 + cfg.light_samples)
+        )
+        budget_lanes = min(budget_lanes, max(film.width, budget // per_lane))
     rows = max(1, min(film.height, budget_lanes // film.width))
     while film.height % rows != 0:
         rows -= 1

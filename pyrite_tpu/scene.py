@@ -39,7 +39,7 @@ PRIM_TRIANGLE = 0
 PRIM_SPHERE = 1
 
 # above this many primitives, dense sweeps lose to a clustered BVH
-CLUSTER_THRESHOLD = 512
+CLUSTER_THRESHOLD = 4096
 CLUSTER_LEAF = 64
 
 

@@ -227,7 +227,7 @@ def _intersect_de(shape, origin, direction, max_steps):
     return ok, jnp.where(ok, total, jnp.inf), local_origin
 
 
-BRUTE_FORCE_PRIMS = 512  # below this, dense tests beat divergent traversal
+BRUTE_FORCE_PRIMS = 4096  # below this, dense tests beat divergent traversal
 _BRUTE_CHUNK = 256
 
 
