@@ -20,8 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .spectra import DEFAULT_SPECTRUM_SPAN  # noqa: F401  (re-export convenience)
-
 DIST_EPSILON = 1e-4
 BUCKETS = 6
 

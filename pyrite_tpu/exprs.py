@@ -21,7 +21,6 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from . import spectra as spectra_mod
 from .project import ir

@@ -36,7 +36,6 @@ from ..tracer import (
     intersect_shadow,
     trace_lamp_path,
 )
-from . import simple as simple_mod
 from .simple import RenderProgress, chunk_rays
 
 # cap on lanes*(L+1)*S to keep lamp-path arrays within memory

@@ -27,17 +27,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .. import geometry as geom
-from ..exprs import ProgramInputs
 from ..film import Film
 from ..scene import CameraModel, Scene
-from ..tracer import (
-    DIST_EPSILON,
-    TraceConfig,
-    bounce_core,
-    trace_lamp_path,
-    eval_color_bank,
-)
+from ..tracer import TraceConfig, bounce_core, trace_lamp_path
 from .simple import RenderProgress, chunk_rays
 
 _CELL_CAP = 32  # max photons consumed per grid cell per query

@@ -11,8 +11,6 @@ uniformly-chosen hero).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -33,7 +33,6 @@ from .scene import (
     LAMP_POINT,
     LAMP_SPHERE,
     LAMP_TRIANGLE,
-    PRIM_SPHERE,
     PRIM_TRIANGLE,
     Scene,
 )
