@@ -162,3 +162,29 @@ def test_native_builders_match_python():
         visited += 1
         i += 1
     assert visited == len(subtree)
+
+
+def test_expose_lanes_matches_scatter_expose():
+    import jax
+    import jax.numpy as jnp
+    from pyrite_tpu.film import Film, expose_lanes
+
+    film = Film(width=8, height=6, bins=16, span=(380.0, 780.0))
+    rng = np.random.default_rng(7)
+    n, s = 8 * 6, 5
+    # jittered positions inside each pixel, row-major lanes
+    py, px = np.meshgrid(np.arange(6), np.arange(8), indexing="ij")
+    pxf = px.reshape(-1) + rng.random(n)
+    pyf = py.reshape(-1) + rng.random(n)
+    positions = np.asarray(film.pixel_to_view(jnp.asarray(pxf), jnp.asarray(pyf)))
+
+    wavelengths = jnp.asarray(rng.uniform(380, 780, (n, s)), jnp.float32)
+    brightness = jnp.asarray(rng.random((n, s)), jnp.float32)
+    weights = jnp.asarray(rng.random((n, s)), jnp.float32)
+    mask = jnp.asarray(rng.random((n, s)) > 0.3)
+
+    acc0, wt0 = film.new_buffers()
+    a1, w1 = film.expose(acc0, wt0, jnp.asarray(positions), wavelengths, brightness, weights, mask)
+    a2, w2 = expose_lanes(film, acc0, wt0, 0, wavelengths, brightness, weights, mask)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
