@@ -90,7 +90,8 @@ class Film:
         flat_pixel = (py * self.width + px)[:, None]  # [N, 1]
         index = flat_pixel * self.bins + bins  # [N, S]
         ok = mask & valid[:, None]
-        index = jnp.where(ok, index, -1)  # out-of-range -> dropped
+        # NB: negative indices WRAP in jnp scatters; use size (dropped) instead
+        index = jnp.where(ok, index, self.height * self.width * self.bins)
         acc_flat = acc.reshape(-1)
         wt_flat = wt.reshape(-1)
         acc_flat = acc_flat.at[index.reshape(-1)].add(
@@ -132,7 +133,8 @@ def expose_sums(film: Film, acc, wt, positions, wavelengths, value_sums, weight_
     flat_pixel = (py * film.width + px)[:, None]
     index = flat_pixel * film.bins + bins
     ok = mask & valid[:, None]
-    index = jnp.where(ok, index, -1)
+    # negative indices wrap in jnp scatters; use size (dropped) instead
+    index = jnp.where(ok, index, film.height * film.width * film.bins)
     acc_flat = acc.reshape(-1).at[index.reshape(-1)].add(
         jnp.where(ok, value_sums, 0.0).reshape(-1), mode="drop"
     )
