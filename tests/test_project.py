@@ -142,3 +142,42 @@ def test_obj_loader_cornell_box():
     assert obj.positions.shape[1] == 3
     # normals present via v//vn
     assert np.all(obj.objects[0].faces_vn >= 0)
+
+
+def test_obj_parser_edge_cases(tmp_path):
+    from pyrite_tpu.project.meshes import load_obj
+
+    obj = tmp_path / "edge.obj"
+    obj.write_text(
+        """
+o quadskip
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+f 1/1 2/2 3/3 4/1
+f 1/1 2/2 3/3
+f -3/-3 -2/-2 -1/-1
+"""
+    )
+    mesh = load_obj(str(obj))
+    assert len(mesh.objects) == 1
+    o = mesh.objects[0]
+    # the quad is skipped (reference keeps triangles only)
+    assert len(o.faces_v) == 2
+    # explicit and negative indices resolve to the same triangle
+    np.testing.assert_array_equal(o.faces_v[0], o.faces_v[1])
+    np.testing.assert_array_equal(o.faces_vt[0], [0, 1, 2])
+    # no normals -> -1
+    assert (o.faces_vn == -1).all()
+
+    # native parser agrees
+    from pyrite_tpu import native
+
+    if native.available():
+        nat = native.load_obj(str(obj))
+        np.testing.assert_array_equal(nat.objects[0].faces_v, o.faces_v)
+        np.testing.assert_array_equal(nat.objects[0].faces_vt, o.faces_vt)
