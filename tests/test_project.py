@@ -168,9 +168,11 @@ f -3/-3 -2/-2 -1/-1
     o = mesh.objects[0]
     # the quad is skipped (reference keeps triangles only)
     assert len(o.faces_v) == 2
-    # explicit and negative indices resolve to the same triangle
-    np.testing.assert_array_equal(o.faces_v[0], o.faces_v[1])
+    np.testing.assert_array_equal(o.faces_v[0], [0, 1, 2])
+    # negative indices count back from the current vertex pool (4 verts)
+    np.testing.assert_array_equal(o.faces_v[1], [1, 2, 3])
     np.testing.assert_array_equal(o.faces_vt[0], [0, 1, 2])
+    np.testing.assert_array_equal(o.faces_vt[1], [0, 1, 2])
     # no normals -> -1
     assert (o.faces_vn == -1).all()
 
