@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 DEFAULT_SPECTRUM_SPAN = (380.0, 780.0)
@@ -57,6 +58,21 @@ class ArraySpectrum:
         float_index = jnp.clip(normalized * (n - 1), 0.0, n - 1.0)
         lo = jnp.clip(jnp.floor(float_index).astype(jnp.int32), 0, n - 2)
         frac = float_index - lo.astype(float_index.dtype)
+
+        if values.ndim == 1 and n <= 128 and w.ndim > 0 and w.size >= 4096:
+            # tiny-table fast path: TPU lowers bulk gathers from small tables
+            # poorly; a masked-weight contraction is pure vector math. The
+            # weight matrix has (1-frac) at lo and frac at lo+1 per row.
+            idx = jnp.arange(n, dtype=jnp.int32)
+            lo_e = lo[..., None]
+            frac_e = frac[..., None]
+            weights = jnp.where(idx == lo_e, 1.0 - frac_e, 0.0) + jnp.where(
+                idx == lo_e + 1, frac_e, 0.0
+            )
+            return jnp.einsum(
+                "...n,n->...", weights, values, precision=jax.lax.Precision.HIGHEST
+            )
+
         if values.ndim == 1:
             a = values[lo]
             b = values[lo + 1]
@@ -86,6 +102,20 @@ class CurveSpectrum:
         xs = jnp.asarray(self.xs)
         ys = jnp.asarray(self.ys)
         inside = (w > xs[0]) & (w < xs[-1])
+
+        if len(self.xs) <= 64 and w.ndim > 0 and w.size >= 4096:
+            # per-segment masked lerp instead of searchsorted+gather (which
+            # TPU serializes): P-1 segments evaluated in parallel, exactly one
+            # contains each wavelength
+            x0, x1 = xs[:-1], xs[1:]
+            y0, y1 = ys[:-1], ys[1:]
+            we = w[..., None]
+            t = (we - x0) / (x1 - x0)
+            seg = y0 + t * (y1 - y0)
+            hit = (we >= x0) & (we < x1)
+            val = jnp.sum(jnp.where(hit, seg, 0.0), axis=-1)
+            return jnp.where(inside, val, 0.0)
+
         return jnp.where(inside, jnp.interp(w, xs, ys), 0.0)
 
     def sample_np(self, wavelength):
