@@ -39,11 +39,16 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
     origin, direction = camera.ray_towards(positions, u[:, 2], u[:, 3])
 
     wavelengths = film.sample_wavelengths(u[:, 4 : 4 + s])
-    # hero selection: swap a uniformly-chosen column into slot 0
+    # hero selection: swap a uniformly-chosen column into slot 0 — done with
+    # masked sums instead of take_along_axis (TPU gathers are slow)
     hero = jnp.minimum((u[:, 4 + s] * s).astype(jnp.int32), s - 1)
     cols = jnp.arange(s)[None, :]
-    take = jnp.where(cols == 0, hero[:, None], jnp.where(cols == hero[:, None], 0, cols))
-    wavelengths = jnp.take_along_axis(wavelengths, take, axis=1)
+    is_hero = cols == hero[:, None]
+    hero_wl = jnp.sum(jnp.where(is_hero, wavelengths, 0.0), axis=1, keepdims=True)
+    first_wl = wavelengths[:, :1]
+    wavelengths = jnp.where(
+        cols == 0, hero_wl, jnp.where(is_hero, first_wl, wavelengths)
+    )
 
     return positions, origin, direction, wavelengths
 

@@ -248,16 +248,23 @@ def _brute_force_triangles(scene, origin, direction, best):
             a["tri_e2"][None, c0:c1],
         )
         t = jnp.where(ok, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        rows = jnp.arange(t.shape[0])
-        tj = t[rows, j]
+        # gather-free row-min selection: pick the first column achieving the
+        # minimum via a masked sum (take_along_axis is slow on TPU)
+        tj = jnp.min(t, axis=1)
+        hitmin = t == tj[:, None]
+        first = hitmin & (jnp.cumsum(hitmin, axis=1) == 1)
+        pick = lambda arr: jnp.sum(jnp.where(first, arr, 0.0), axis=1)
         better = tj < best["t"]
         best = {
             "t": jnp.where(better, tj, best["t"]),
             "kind": jnp.where(better, KIND_TRIANGLE, best["kind"]),
-            "idx": jnp.where(better, (c0 + j).astype(jnp.int32), best["idx"]),
-            "u": jnp.where(better, u[rows, j], best["u"]),
-            "v": jnp.where(better, v[rows, j], best["v"]),
+            "idx": jnp.where(
+                better,
+                c0 + jnp.sum(jnp.where(first, jnp.arange(t.shape[1]), 0), axis=1).astype(jnp.int32),
+                best["idx"],
+            ),
+            "u": jnp.where(better, pick(u), best["u"]),
+            "v": jnp.where(better, pick(v), best["v"]),
         }
     return best
 
@@ -274,14 +281,18 @@ def _brute_force_spheres(scene, origin, direction, best):
             a["sph_radius"][None, c0:c1],
         )
         t = jnp.where(ok, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        rows = jnp.arange(t.shape[0])
-        tj = t[rows, j]
+        tj = jnp.min(t, axis=1)
+        hitmin = t == tj[:, None]
+        first = hitmin & (jnp.cumsum(hitmin, axis=1) == 1)
         better = tj < best["t"]
         best = {
             "t": jnp.where(better, tj, best["t"]),
             "kind": jnp.where(better, KIND_SPHERE, best["kind"]),
-            "idx": jnp.where(better, (c0 + j).astype(jnp.int32), best["idx"]),
+            "idx": jnp.where(
+                better,
+                c0 + jnp.sum(jnp.where(first, jnp.arange(t.shape[1]), 0), axis=1).astype(jnp.int32),
+                best["idx"],
+            ),
             "u": best["u"],
             "v": best["v"],
         }
