@@ -84,3 +84,35 @@ def test_binned_sample_outside_span_is_zero():
         spectra.sample_binned(bins, (380.0, 780.0), np.array([300.0, 500.0, 800.0]))
     )
     np.testing.assert_allclose(vals, [0.0, 1.0, 0.0])
+
+
+def test_array_spectrum_fast_path_matches_gather_path():
+    # The masked-weight contraction fast path only engages for 1-D tables
+    # <=128 entries sampled at >=4096 wavelengths; make sure it agrees with
+    # the plain gather/lerp path bit-for-bit-ish on the same wavelengths.
+    rng = np.random.default_rng(0)
+    table = rng.uniform(0.0, 2.0, 97).astype(np.float32)
+    sp = spectra.ArraySpectrum(380.0, 780.0, table)
+    wl = rng.uniform(300.0, 860.0, 5000).astype(np.float32)  # incl. clamping
+    fast = np.asarray(sp.sample(wl))
+    slow = np.concatenate(
+        [np.asarray(sp.sample(wl[i : i + 500])) for i in range(0, 5000, 500)]
+    )
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+
+
+def test_curve_spectrum_fast_path_matches_interp_path():
+    # Same deal for the per-segment masked lerp on curve spectra (<=64 pts).
+    rng = np.random.default_rng(1)
+    xs = np.sort(rng.uniform(400.0, 700.0, 17)).astype(np.float32)
+    ys = rng.uniform(0.0, 1.0, 17).astype(np.float32)
+    sp = spectra.CurveSpectrum(xs, ys)
+    wl = rng.uniform(350.0, 750.0, 5000).astype(np.float32)
+    wl[:3] = [xs[0], xs[-1], xs[8]]  # endpoint + knot behavior
+    fast = np.asarray(sp.sample(wl))
+    slow = np.concatenate(
+        [np.asarray(sp.sample(wl[i : i + 500])) for i in range(0, 5000, 500)]
+    )
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+    # strictly-outside rule: 0 AT the endpoints too
+    assert fast[0] == 0.0 and fast[1] == 0.0
