@@ -1418,7 +1418,7 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # Clustered-BVH traversal (large scenes)
 # =============================================================================
 
-CLUSTER_LEAF = 64
+CLUSTER_LEAF = 16
 
 
 def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
@@ -1430,7 +1430,7 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
     on a leaf. Everything is plain masked array math, which both vectorizes
     on the VPU and avoids vmapped while_loops (which fault on this TPU
     stack)."""
-    WALK_STEPS = 8
+    WALK_STEPS = 16
 
     a = scene.arrays
     bbox_min = a["clu_bbox_min"]
@@ -1470,7 +1470,9 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
 
         in_range, useful, is_leaf, _, node = classify(cursor, state["t"])
         at_leaf = useful & is_leaf & in_range
-        start = jnp.maximum(leaf_start[node], 0)
+        # idle lanes gather from index 0 so their (masked-out) sweep reads
+        # concentrate on one cache line instead of random leaf starts
+        start = jnp.where(at_leaf, jnp.maximum(leaf_start[node], 0), 0)
         count = jnp.where(at_leaf, leaf_count[node], 0)
         updated = leaf_sweep(start, count, origin, direction, state)
         state = jax.tree_util.tree_map(
