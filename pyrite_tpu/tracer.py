@@ -1443,15 +1443,29 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
     inv_dir = 1.0 / direction
     n = origin.shape[0]
 
+    # one [nodes, 8] f32 row per node (bbox_min, bbox_max, subtree size,
+    # leaf count) so each walk step is a single gather instead of four;
+    # subtree/count are exact in f32 well past any real node count
+    packed = jnp.concatenate(
+        [
+            bbox_min,
+            bbox_max,
+            subtree.astype(jnp.float32)[:, None],
+            leaf_count.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
     def classify(cursor, t_best):
         in_range = cursor < max_nodes
         node = jnp.minimum(cursor, max_nodes - 1)
+        row = packed[node]
         hit, entry = bvh_mod.aabb_entry_distance(
-            bbox_min[node], bbox_max[node], origin, inv_dir
+            row[:, 0:3], row[:, 3:6], origin, inv_dir
         )
         useful = hit & (entry < t_best) & in_range
-        is_leaf = leaf_count[node] > 0
-        return in_range, useful, is_leaf, subtree[node], node
+        is_leaf = row[:, 7] > 0
+        return in_range, useful, is_leaf, row[:, 6].astype(jnp.int32), node
 
     def outer_cond(carry):
         cursor, _ = carry
