@@ -600,6 +600,25 @@ def build_scene(project_data) -> Scene:
             scene.arrays["clu_subtree"] = jnp.asarray(cl_subtree)
             scene.arrays["clu_leaf_start"] = jnp.asarray(cl_start)
             scene.arrays["clu_leaf_count"] = jnp.asarray(cl_count)
+            # leaf-ordered packed geometry: one [slots, 12] f32 row per
+            # primitive (v0/center, e1, e2, radius, kind, ref) so the leaf
+            # sweep is a single gather of contiguous rows instead of five
+            # indirect gathers through prim_ref
+            geo = np.zeros((total_prims, 12), np.float32)
+            tm = prim_kind == PRIM_TRIANGLE
+            sm = ~tm
+            if tm.any():
+                tr = prim_ref[tm]
+                geo[tm, 0:3] = t_v0[tr]
+                geo[tm, 3:6] = t_e1[tr]
+                geo[tm, 6:9] = t_e2[tr]
+            if sm.any():
+                sr = prim_ref[sm]
+                geo[sm, 0:3] = s_c[sr]
+                geo[sm, 9] = np.asarray(sph_radius, np.float32)[sr]
+            geo[:, 10] = prim_kind
+            geo[:, 11] = prim_ref
+            scene.arrays["clu_geo"] = jnp.asarray(geo)
     if flat is None and not scene.use_clusters:
         flat = bvh_mod.build_bvh(prim_lo, prim_hi)
     scene.bvh_nodes = 0 if scene.use_clusters else flat.num_nodes

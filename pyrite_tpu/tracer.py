@@ -1503,24 +1503,21 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
 def _cluster_leaf_closest(scene: Scene):
     """Vectorized leaf sweep for closest-hit queries: [N, LEAF] tests."""
     a = scene.arrays
-    prim_kind = a["prim_kind"]
-    prim_ref = a["prim_ref"]
-    tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
-    sph_center, sph_radius = a["sph_center"], a["sph_radius"]
+    geo = a["clu_geo"]  # leaf-ordered [slots, 12] packed rows (scene.py)
     lanes = jnp.arange(CLUSTER_LEAF)
 
     def leaf_sweep(start, count, origin, direction, state):
-        idx = jnp.minimum(start[:, None] + lanes[None, :], prim_kind.shape[0] - 1)
+        idx = jnp.minimum(start[:, None] + lanes[None, :], geo.shape[0] - 1)
         in_leaf = lanes[None, :] < count[:, None]
-        kind = prim_kind[idx]
-        ref = prim_ref[idx]
+        g = geo[idx]  # single gather of contiguous rows per leaf
+        ref = g[..., 11].astype(jnp.int32)
         o = origin[:, None, :]
         d = direction[:, None, :]
         tri_ok, tri_t, u, v = geom.ray_triangle(
-            o, d, tri_v0[ref], tri_e1[ref], tri_e2[ref]
+            o, d, g[..., 0:3], g[..., 3:6], g[..., 6:9]
         )
-        sph_ok, sph_t = geom.ray_sphere(o, d, sph_center[ref], sph_radius[ref])
-        is_tri = kind == PRIM_TRIANGLE
+        sph_ok, sph_t = geom.ray_sphere(o, d, g[..., 0:3], g[..., 9])
+        is_tri = g[..., 10] == PRIM_TRIANGLE
         ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
         t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
         rows = jnp.arange(t.shape[0])
@@ -1544,24 +1541,20 @@ def _cluster_leaf_closest(scene: Scene):
 
 def _cluster_leaf_shadow(scene: Scene):
     a = scene.arrays
-    prim_kind = a["prim_kind"]
-    prim_ref = a["prim_ref"]
-    tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
-    sph_center, sph_radius = a["sph_center"], a["sph_radius"]
+    geo = a["clu_geo"]
     lanes = jnp.arange(CLUSTER_LEAF)
 
     def leaf_sweep(start, count, origin, direction, state):
-        idx = jnp.minimum(start[:, None] + lanes[None, :], prim_kind.shape[0] - 1)
+        idx = jnp.minimum(start[:, None] + lanes[None, :], geo.shape[0] - 1)
         in_leaf = lanes[None, :] < count[:, None]
-        kind = prim_kind[idx]
-        ref = prim_ref[idx]
+        g = geo[idx]
         o = origin[:, None, :]
         d = direction[:, None, :]
         tri_ok, tri_t, _, _ = geom.ray_triangle(
-            o, d, tri_v0[ref], tri_e1[ref], tri_e2[ref]
+            o, d, g[..., 0:3], g[..., 3:6], g[..., 6:9]
         )
-        sph_ok, sph_t = geom.ray_sphere(o, d, sph_center[ref], sph_radius[ref])
-        is_tri = kind == PRIM_TRIANGLE
+        sph_ok, sph_t = geom.ray_sphere(o, d, g[..., 0:3], g[..., 9])
+        is_tri = g[..., 10] == PRIM_TRIANGLE
         ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
         t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
         return {"t": jnp.minimum(state["t"], jnp.min(t, axis=1))}
