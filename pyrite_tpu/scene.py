@@ -40,7 +40,7 @@ PRIM_SPHERE = 1
 
 # above this many primitives, dense sweeps lose to a clustered BVH
 CLUSTER_THRESHOLD = 4096
-CLUSTER_LEAF = 16
+CLUSTER_LEAF = 32
 
 
 def _mul_expr(lhs, rhs):

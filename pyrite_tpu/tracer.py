@@ -1418,7 +1418,7 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # Clustered-BVH traversal (large scenes)
 # =============================================================================
 
-CLUSTER_LEAF = 16
+CLUSTER_LEAF = 32
 
 
 def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
@@ -1430,7 +1430,7 @@ def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
     on a leaf. Everything is plain masked array math, which both vectorizes
     on the VPU and avoids vmapped while_loops (which fault on this TPU
     stack)."""
-    WALK_STEPS = 16
+    WALK_STEPS = 12
 
     a = scene.arrays
     bbox_min = a["clu_bbox_min"]
