@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -50,7 +50,7 @@ def sharded_render_step(step_fn, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
 
