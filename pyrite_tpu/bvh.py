@@ -82,10 +82,6 @@ def _build_bvh_python(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBvh:
     out_size: list = []
     out_prim: list = []
 
-    def surface_area(lo, hi):
-        d = np.maximum(hi - lo, 0.0)
-        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
-
     # Stack entries: ("node", indices) to emit, or ("patch", node_pos) to fix
     # the subtree size after children are emitted.
     stack = [("node", np.arange(count))]
@@ -106,58 +102,7 @@ def _build_bvh_python(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBvh:
             out_prim.append(indices[0])
             continue
 
-        cmin = centroids[indices].min(axis=0)
-        cmax = centroids[indices].max(axis=0)
-        extent = cmax - cmin
-        axis = int(np.argmax(extent))
-
-        if extent[axis] < DIST_EPSILON:
-            # Degenerate cluster: split evenly (bvh.rs:68-91).
-            half = len(indices) // 2
-            first, second = indices[:half], indices[half:]
-        else:
-            pos = centroids[indices, axis]
-            bucket_of = np.minimum(
-                (BUCKETS * (pos - cmin[axis]) / extent[axis]).astype(np.int64),
-                BUCKETS - 1,
-            )
-            # Per-bucket stats.
-            best_cost = np.inf
-            best_split = 1
-            counts = np.zeros(BUCKETS, np.int64)
-            bucket_lo = np.full((BUCKETS, 3), np.inf, np.float32)
-            bucket_hi = np.full((BUCKETS, 3), -np.inf, np.float32)
-            for b in range(BUCKETS):
-                mask = bucket_of == b
-                counts[b] = mask.sum()
-                if counts[b]:
-                    sel = indices[mask]
-                    bucket_lo[b] = prim_min[sel].min(axis=0)
-                    bucket_hi[b] = prim_max[sel].max(axis=0)
-            root_area = surface_area(lo, hi)
-
-            def side_area(cnts, los, his):
-                if cnts.sum() == 0:
-                    return 0.0
-                m = cnts > 0
-                return surface_area(los[m].min(axis=0), his[m].max(axis=0))
-
-            for split in range(1, BUCKETS):
-                c1 = counts[:split].sum()
-                c2 = counts[split:].sum()
-                a1 = side_area(counts[:split], bucket_lo[:split], bucket_hi[:split])
-                a2 = side_area(counts[split:], bucket_lo[split:], bucket_hi[split:])
-                cost = (a1 * c1 + a2 * c2) / max(root_area, 1e-30)
-                if cost < best_cost:
-                    best_cost = cost
-                    best_split = split
-            first_mask = bucket_of < best_split
-            first, second = indices[first_mask], indices[~first_mask]
-            if len(first) == 0 or len(second) == 0:
-                half = len(indices) // 2
-                order = np.argsort(pos, kind="stable")
-                indices = indices[order]
-                first, second = indices[:half], indices[half:]
+        first, second = _sah_split(prim_min, prim_max, centroids, indices)
 
         pos = len(out_size)
         out_min.append(lo)
@@ -176,6 +121,135 @@ def _build_bvh_python(prim_min: np.ndarray, prim_max: np.ndarray) -> FlatBvh:
     )
 
 
+def build_bvh_clustered_python(
+    prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int
+):
+    """Numpy clustered-BVH build: binned SAH that stops splitting at
+    ``leaf_size`` primitives, leaves storing contiguous ranges of a
+    primitive permutation (same output contract as the native
+    ``build_bvh_clustered``; reference algorithm spatial/bvh.rs:36-155).
+
+    Returns (bbox_min [M,3], bbox_max [M,3], subtree [M], leaf_start [M],
+    leaf_count [M], perm [K]). This keeps the TPU path on the batched
+    clustered traversal even without a C++ toolchain — the vmapped
+    while_loop flat-BVH traversal is known to fault on the axon backend.
+    """
+    count = len(prim_min)
+    prim_min = np.asarray(prim_min, np.float32)
+    prim_max = np.asarray(prim_max, np.float32)
+    centroids = (prim_min + prim_max) * 0.5
+
+    out_min: list = []
+    out_max: list = []
+    out_size: list = []
+    out_start: list = []
+    out_count: list = []
+    perm: list = []
+
+    stack = [("node", np.arange(count))]
+    while stack:
+        kind, payload = stack.pop()
+        if kind == "patch":
+            out_size[payload] = len(out_size) - payload - 1
+            continue
+
+        indices = payload
+        lo = prim_min[indices].min(axis=0)
+        hi = prim_max[indices].max(axis=0)
+
+        if len(indices) <= leaf_size:
+            out_min.append(lo)
+            out_max.append(hi)
+            out_size.append(0)
+            out_start.append(len(perm))
+            out_count.append(len(indices))
+            perm.extend(indices.tolist())
+            continue
+
+        first, second = _sah_split(prim_min, prim_max, centroids, indices)
+
+        pos = len(out_size)
+        out_min.append(lo)
+        out_max.append(hi)
+        out_size.append(-1)  # patched later
+        out_start.append(-1)
+        out_count.append(0)
+        stack.append(("patch", pos))
+        stack.append(("node", second))
+        stack.append(("node", first))
+
+    return (
+        np.asarray(out_min, np.float32),
+        np.asarray(out_max, np.float32),
+        np.asarray(out_size, np.int32),
+        np.asarray(out_start, np.int32),
+        np.asarray(out_count, np.int32),
+        np.asarray(perm, np.int32),
+    )
+
+
+def _sah_split(prim_min, prim_max, centroids, indices):
+    """One binned-SAH split (6 buckets over the largest centroid axis,
+    even-split fallback on degenerate axes, bvh.rs:68-147)."""
+    cmin = centroids[indices].min(axis=0)
+    cmax = centroids[indices].max(axis=0)
+    extent = cmax - cmin
+    axis = int(np.argmax(extent))
+
+    def surface_area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+
+    if extent[axis] < DIST_EPSILON:
+        half = len(indices) // 2
+        return indices[:half], indices[half:]
+
+    pos = centroids[indices, axis]
+    bucket_of = np.minimum(
+        (BUCKETS * (pos - cmin[axis]) / extent[axis]).astype(np.int64),
+        BUCKETS - 1,
+    )
+    lo = prim_min[indices].min(axis=0)
+    hi = prim_max[indices].max(axis=0)
+    counts = np.zeros(BUCKETS, np.int64)
+    bucket_lo = np.full((BUCKETS, 3), np.inf, np.float32)
+    bucket_hi = np.full((BUCKETS, 3), -np.inf, np.float32)
+    for b in range(BUCKETS):
+        mask = bucket_of == b
+        counts[b] = mask.sum()
+        if counts[b]:
+            sel = indices[mask]
+            bucket_lo[b] = prim_min[sel].min(axis=0)
+            bucket_hi[b] = prim_max[sel].max(axis=0)
+    root_area = surface_area(lo, hi)
+
+    def side_area(cnts, los, his):
+        if cnts.sum() == 0:
+            return 0.0
+        m = cnts > 0
+        return surface_area(los[m].min(axis=0), his[m].max(axis=0))
+
+    best_cost = np.inf
+    best_split = 1
+    for split in range(1, BUCKETS):
+        c1 = counts[:split].sum()
+        c2 = counts[split:].sum()
+        a1 = side_area(counts[:split], bucket_lo[:split], bucket_hi[:split])
+        a2 = side_area(counts[split:], bucket_lo[split:], bucket_hi[split:])
+        cost = (a1 * c1 + a2 * c2) / max(root_area, 1e-30)
+        if cost < best_cost:
+            best_cost = cost
+            best_split = split
+    first_mask = bucket_of < best_split
+    first, second = indices[first_mask], indices[~first_mask]
+    if len(first) == 0 or len(second) == 0:
+        half = len(indices) // 2
+        order = np.argsort(pos, kind="stable")
+        indices = indices[order]
+        first, second = indices[:half], indices[half:]
+    return first, second
+
+
 def aabb_entry_distance(bbox_min, bbox_max, origin, inv_dir):
     """Slab test (reference math.rs:184-207): returns (hit, entry_distance)."""
     t1 = (bbox_min - origin) * inv_dir
@@ -187,7 +261,12 @@ def aabb_entry_distance(bbox_min, bbox_max, origin, inv_dir):
 
 
 def traverse(bvh_arrays, origin, direction, intersect_prim, init_best, max_nodes):
-    """Traverse the flattened BVH for a batch of rays.
+    """Reference traversal of the flattened BVH (CPU testing oracle only).
+
+    NOT a device path: the vmapped while_loop + lax.cond pattern faults on
+    the axon TPU backend. The production paths are the dense sweep (small
+    scenes) and the batched clustered traversal (tracer._cluster_traverse);
+    this function exists to validate builder output in tests.
 
     ``bvh_arrays``: dict of jnp arrays (bbox_min, bbox_max, subtree_size,
     prim_index). ``intersect_prim(prim_idx, origin, direction, state) ->

@@ -160,7 +160,6 @@ class Scene:
         self.num_spheres = 0
         self.num_materials = 0
         self.max_components = 1
-        self.bvh_nodes = 0
         self.use_clusters = False
         self.cluster_nodes = 0
 
@@ -581,7 +580,6 @@ def build_scene(project_data) -> Scene:
     # fallback when the native builder is unavailable.
     scene.use_clusters = False
     total_prims = num_tris + num_sph
-    flat = None
     if total_prims > CLUSTER_THRESHOLD:
         try:
             from . import native
@@ -589,6 +587,13 @@ def build_scene(project_data) -> Scene:
             clustered = native.build_bvh_clustered(prim_lo, prim_hi, CLUSTER_LEAF)
         except Exception:
             clustered = None
+        if clustered is None:
+            # no native toolchain: numpy clustered build, same contract
+            # (never fall back to the vmapped-while_loop flat traversal,
+            # which faults on the axon TPU backend)
+            clustered = bvh_mod.build_bvh_clustered_python(
+                prim_lo, prim_hi, CLUSTER_LEAF
+            )
         if clustered is not None:
             cl_min, cl_max, cl_subtree, cl_start, cl_count, perm = clustered
             prim_kind = prim_kind[perm]
@@ -619,9 +624,10 @@ def build_scene(project_data) -> Scene:
             geo[:, 10] = prim_kind
             geo[:, 11] = prim_ref
             scene.arrays["clu_geo"] = jnp.asarray(geo)
-    if flat is None and not scene.use_clusters:
-        flat = bvh_mod.build_bvh(prim_lo, prim_hi)
-    scene.bvh_nodes = 0 if scene.use_clusters else flat.num_nodes
+    # small scenes use the dense sweep; large ones the clustered traversal —
+    # the vmapped-while_loop flat BVH is never a device path (it faults on
+    # the axon TPU backend)
+    assert scene.use_clusters or total_prims <= CLUSTER_THRESHOLD
 
     def as_jnp(x, dtype=jnp.float32):
         return jnp.asarray(np.asarray(x, dtype))
@@ -653,11 +659,6 @@ def build_scene(project_data) -> Scene:
     a["pla_mat"] = pad1(pla_mat, np.int32)
     scene.num_planes = len(pla_normal)
 
-    if flat is not None:
-        a["bvh_bbox_min"] = pad1(flat.bbox_min, np.float32, 0, (3,))
-        a["bvh_bbox_max"] = pad1(flat.bbox_max, np.float32, 0, (3,))
-        a["bvh_subtree"] = pad1(flat.subtree_size, np.int32)
-        a["bvh_prim"] = pad1(flat.prim_index, np.int32, -1)
     a["prim_kind"] = pad1(prim_kind, np.int32)
     a["prim_ref"] = pad1(prim_ref, np.int32)
 

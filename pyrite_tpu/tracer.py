@@ -348,10 +348,6 @@ def intersect_shadow(scene: Scene, origin, direction, cfg: TraceConfig):
                 t_best = jnp.minimum(
                     t_best, jnp.min(jnp.where(ok, t, jnp.inf), axis=1)
                 )
-    elif scene.bvh_nodes > 0:
-        hit = intersect_scene(scene, origin, direction, cfg)
-        t_best = jnp.minimum(t_best, hit["t"])
-        return t_best
 
     for shape in scene.de_shapes:
         ok, t, _ = _intersect_de(shape, origin, direction, cfg.max_de_steps)
@@ -390,7 +386,9 @@ def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
         best["idx"] = jnp.where(better, pi.astype(jnp.int32), best["idx"])
 
     # finite primitives: clustered BVH for large scenes, dense sweep for
-    # small ones, classic flat BVH as the no-native fallback
+    # small ones (never a per-ray while_loop walk — that faults on this
+    # TPU backend; scene.py guarantees one of these two paths covers any
+    # non-empty primitive set)
     if scene.use_clusters:
         best = _cluster_traverse(
             scene, origin, direction, best, _cluster_leaf_closest(scene)
@@ -400,43 +398,6 @@ def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
             best = _brute_force_triangles(scene, origin, direction, best)
         if scene.num_spheres > 0:
             best = _brute_force_spheres(scene, origin, direction, best)
-    elif scene.bvh_nodes > 0:
-        tri_v0, tri_e1, tri_e2 = a["tri_v0"], a["tri_e1"], a["tri_e2"]
-        sph_center, sph_radius = a["sph_center"], a["sph_radius"]
-        prim_kind, prim_ref = a["prim_kind"], a["prim_ref"]
-
-        def intersect_prim(prim, o, d, state):
-            kind = prim_kind[prim]
-            ref = prim_ref[prim]
-            tri_ok, tri_t, u, v = geom.ray_triangle(
-                o, d, tri_v0[ref], tri_e1[ref], tri_e2[ref]
-            )
-            sph_ok, sph_t = geom.ray_sphere(o, d, sph_center[ref], sph_radius[ref])
-            is_tri = kind == PRIM_TRIANGLE
-            ok = jnp.where(is_tri, tri_ok, sph_ok)
-            t = jnp.where(is_tri, tri_t, sph_t)
-            better = ok & (t < state["t"])
-            return {
-                "t": jnp.where(better, t, state["t"]),
-                "kind": jnp.where(
-                    better,
-                    jnp.where(is_tri, KIND_TRIANGLE, KIND_SPHERE),
-                    state["kind"],
-                ),
-                "idx": jnp.where(better, ref, state["idx"]),
-                "u": jnp.where(better, u, state["u"]),
-                "v": jnp.where(better, v, state["v"]),
-            }
-
-        bvh_arrays = {
-            "bbox_min": a["bvh_bbox_min"],
-            "bbox_max": a["bvh_bbox_max"],
-            "subtree_size": a["bvh_subtree"],
-            "prim_index": a["bvh_prim"],
-        }
-        best = bvh_mod.traverse(
-            bvh_arrays, origin, direction, intersect_prim, best, scene.bvh_nodes
-        )
 
     # distance-estimated shapes (few per scene; marched outside the BVH)
     for j, shape in enumerate(scene.de_shapes):

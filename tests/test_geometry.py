@@ -188,3 +188,78 @@ def test_expose_lanes_matches_scatter_expose():
     a2, w2 = expose_lanes(film, acc0, wt0, 0, wavelengths, brightness, weights, mask)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_python_clustered_build_matches_brute_force():
+    """The numpy clustered builder (no-native fallback) must produce a tree
+    whose batched traversal returns brute-force-identical closest hits."""
+    import types
+
+    import jax.numpy as jnp
+    from pyrite_tpu import tracer
+    from pyrite_tpu.scene import PRIM_TRIANGLE
+
+    rng = np.random.default_rng(11)
+    num = 700  # > a few leaves at CLUSTER_LEAF=32, still fast on CPU
+    v0 = rng.uniform(-5, 5, size=(num, 3)).astype(np.float32)
+    e1 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
+    e2 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+
+    cl_min, cl_max, subtree, start, count, perm = bvh_mod.build_bvh_clustered_python(
+        lo, hi, tracer.CLUSTER_LEAF
+    )
+    # structure: every primitive appears exactly once across leaf ranges
+    assert sorted(perm.tolist()) == list(range(num))
+    leaves = count > 0
+    assert (count[leaves] <= tracer.CLUSTER_LEAF).all()
+    assert count[leaves].sum() == num
+    # skip-link consistency: leaf subtree sizes are 0, walk covers all nodes
+    assert (subtree[leaves] == 0).all()
+
+    geo = np.zeros((num, 12), np.float32)
+    geo[:, 0:3] = v0[perm]
+    geo[:, 3:6] = e1[perm]
+    geo[:, 6:9] = e2[perm]
+    geo[:, 10] = PRIM_TRIANGLE
+    geo[:, 11] = perm
+    scene = types.SimpleNamespace(
+        cluster_nodes=len(subtree),
+        arrays={
+            "clu_bbox_min": jnp.asarray(cl_min),
+            "clu_bbox_max": jnp.asarray(cl_max),
+            "clu_subtree": jnp.asarray(subtree),
+            "clu_leaf_start": jnp.asarray(start),
+            "clu_leaf_count": jnp.asarray(count),
+            "clu_geo": jnp.asarray(geo),
+        },
+    )
+
+    n_rays = 64
+    origins = rng.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    init = {
+        "t": jnp.full(n_rays, jnp.inf),
+        "kind": jnp.zeros(n_rays, jnp.int32),
+        "idx": jnp.zeros(n_rays, jnp.int32),
+        "u": jnp.zeros(n_rays),
+        "v": jnp.zeros(n_rays),
+    }
+    out = tracer._cluster_traverse(
+        scene, jnp.asarray(origins), jnp.asarray(dirs), init,
+        tracer._cluster_leaf_closest(scene),
+    )
+
+    ok, t, _, _ = geom.ray_triangle(
+        origins[:, None, :], dirs[:, None, :], v0[None], e1[None], e2[None]
+    )
+    t_all = np.where(np.asarray(ok), np.asarray(t), np.inf)
+    best_t = t_all.min(axis=1)
+    np.testing.assert_allclose(np.asarray(out["t"]), best_t, rtol=1e-5)
+    hit_rays = np.isfinite(best_t)
+    np.testing.assert_array_equal(
+        np.asarray(out["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
+    )

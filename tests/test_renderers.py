@@ -89,3 +89,25 @@ def test_photon_mapping_runs_and_produces_light(tmp_path):
     assert np.isfinite(img).all()
     # the emissive ball must be directly visible
     assert img[:8].max() > 0.1
+
+
+def test_cluster_path_matches_dense_without_native(tmp_path, monkeypatch):
+    """With the native builder unavailable and the cluster threshold lowered,
+    the numpy clustered-BVH path must render the same image as the dense
+    sweep. Hits agree on prim identity everywhere; t can differ by ULPs
+    (XLA fuses the two paths differently), which at low spp can flip an
+    occasional occlusion test — so a handful of pixels may diverge."""
+    import pyrite_tpu.scene as scene_mod
+    import pyrite_tpu.tracer as tracer_mod
+    from pyrite_tpu import native
+
+    dense_img = render(tmp_path, "simple", 8)
+
+    monkeypatch.setattr(native, "build_bvh_clustered", lambda *a, **k: None)
+    monkeypatch.setattr(scene_mod, "CLUSTER_THRESHOLD", 1)
+    monkeypatch.setattr(tracer_mod, "BRUTE_FORCE_PRIMS", 1)
+    cluster_img = render(tmp_path, "simple", 8)
+
+    close = np.isclose(cluster_img, dense_img, rtol=1e-4, atol=1e-6)
+    assert close.mean() > 0.99, f"{(~close).sum()} of {close.size} pixels diverge"
+    np.testing.assert_allclose(cluster_img.mean(), dense_img.mean(), rtol=1e-3)
