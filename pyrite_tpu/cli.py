@@ -90,7 +90,7 @@ def main(argv=None):
     parser.add_argument(
         "--multi-device",
         action="store_true",
-        help="shard samples across all visible devices (simple renderer only)",
+        help="shard samples across all visible devices",
     )
     parser.add_argument(
         "--checkpoint",
@@ -102,11 +102,17 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     loading_started = time.time()
+    from .lua.interpreter import LuaError
+    from .project.ir import ProjectError
+
+    loading_errors = (OSError, LuaError, ProjectError, SyntaxError, ValueError, KeyError)
     try:
         project_data = load_project(args.project)
         scene = build_scene(project_data)
-    except (OSError, Exception) as error:  # noqa: BLE001 — mirror the reference's
-        # stringly error reporting (main.rs:68-71): report and exit non-zero.
+    except loading_errors as error:
+        # the reference reports load errors stringly and exits non-zero
+        # (main.rs:68-71); unexpected exception types propagate with a real
+        # traceback instead of being swallowed
         print(f"error while loading project file: {error}", file=sys.stderr)
         return 1
     loading_ended = time.time()
@@ -159,7 +165,7 @@ def main(argv=None):
             state["last_preview"] = now
 
     rendering_started = time.time()
-    if args.multi_device and algorithm == "simple" and len(jax.devices()) > 1:
+    if args.multi_device and len(jax.devices()) > 1:
         from .parallel import make_mesh
 
         film, acc, wt = algorithm_mod.render_sharded(
@@ -169,6 +175,7 @@ def main(argv=None):
             seed=args.seed,
             on_progress=on_progress,
             max_samples=args.samples,
+            resume=resume,
         )
     else:
         film, acc, wt = algorithm_mod.render(

@@ -1,3 +1,8 @@
 """Multi-chip execution: sample-axis sharding over a device mesh."""
 
-from .mesh import make_mesh, sharded_render_step, merge_films  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_mesh,
+    merge_films,
+    run_sharded,
+    sharded_render_step,
+)

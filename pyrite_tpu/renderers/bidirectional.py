@@ -147,6 +147,7 @@ def make_render_step(
     cfg: TraceConfig,
     light_bounces: int,
     rows_per_chunk: int,
+    jit: bool = True,
 ):
     lamp_cfg = TraceConfig(
         bounces=light_bounces,
@@ -155,7 +156,7 @@ def make_render_step(
         max_de_steps=cfg.max_de_steps,
     )
 
-    def chunk_step(acc, wt, key, row0, data):
+    def chunk_step(acc, wt, key, data, row0=0):
       with scene.bind(data):
         positions, origin, direction, wavelengths = chunk_rays(
             film, camera, cfg, key, row0=row0, rows=rows_per_chunk
@@ -291,7 +292,7 @@ def make_render_step(
         )
         return acc, wt
 
-    return jax.jit(chunk_step, donate_argnums=(0, 1))
+    return jax.jit(chunk_step, donate_argnums=(0, 1)) if jit else chunk_step
 
 
 def pick_rows_per_chunk(
@@ -357,7 +358,56 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
     for i in range(start_sample, total):
         for c in range(chunks):
-            acc, wt = step(acc, wt, keys[i * chunks + c], c * rows, data)
+            acc, wt = step(acc, wt, keys[i * chunks + c], data, c * rows)
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt
+
+
+def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None, resume=None):
+    """Multi-device BDPT: samples sharded over the mesh exactly like the
+    simple renderer — the per-chunk step is already a pure film-delta
+    function, so it lifts unchanged (reference runs all algorithms through
+    one TaskRunner, renderer/mod.rs:77-111)."""
+    from ..parallel.mesh import run_sharded
+
+    project = project_data.project
+    settings = project.renderer
+    film = Film(
+        width=project.image.width,
+        height=project.image.height,
+        bins=settings.spectrum_bins,
+        span=settings.spectrum_span,
+    )
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(
+        bounces=settings.bounces,
+        light_samples=settings.light_samples,
+        spectrum_samples=settings.spectrum_samples,
+    )
+    rows = pick_rows_per_chunk(
+        film,
+        settings.light_bounces,
+        settings.spectrum_samples,
+        scene=scene,
+        bounces=settings.bounces,
+    )
+    step = make_render_step(
+        scene, film, camera, cfg, settings.light_bounces, rows, jit=False
+    )
+    total = settings.pixel_samples if max_samples is None else min(
+        settings.pixel_samples, max_samples
+    )
+    return run_sharded(
+        step,
+        film,
+        mesh,
+        scene.device_data(),
+        total,
+        seed=seed,
+        chunks=film.height // rows,
+        rows=rows,
+        on_progress=on_progress,
+        resume=resume,
+        progress_cls=RenderProgress,
+    )

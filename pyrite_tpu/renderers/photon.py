@@ -218,7 +218,8 @@ def _gather(
     return acc, wt
 
 
-def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
+def _build_parts(project_data, scene: Scene):
+    """Shared construction for the single-device and sharded drivers."""
     project = project_data.project
     settings = project.renderer
     film = Film(
@@ -287,7 +288,6 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
             "darkness_denom": darkness_denom,
         }
 
-    @jax.jit
     def camera_step(acc, wt, key, data):
       with scene.bind(data):
         positions, origin, direction, wavelengths = chunk_rays(film, camera, cfg, key)
@@ -309,7 +309,6 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         )
         return acc, wt, recorded, positions, wavelengths
 
-    @jax.jit
     def gather_step(acc, wt, key, recorded, positions, wavelengths, data):
         with scene.bind(data):
             photons = photon_batch(key, settings.photons)
@@ -317,6 +316,34 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
                 scene, film, cfg, radius, photon_probability, recorded,
                 wavelengths, photons, acc, wt, positions,
             )
+
+    return film, settings, camera_step, gather_step
+
+
+def make_sample_step(project_data, scene: Scene):
+    """One full pixel pass (camera trace + all photon passes) as a pure
+    film-delta step ``(acc, wt, key, data, row0) -> (acc, wt)`` — the unit
+    the mesh shards over (row0 unused: photon passes sweep the whole film)."""
+    film, settings, camera_step, gather_step = _build_parts(project_data, scene)
+
+    def sample_step(acc, wt, key, data, row0=0):
+        del row0
+        k_cam = jax.random.fold_in(key, 0)
+        acc, wt, recorded, positions, wavelengths = camera_step(acc, wt, k_cam, data)
+        for p in range(settings.photon_passes):
+            k_p = jax.random.fold_in(key, p + 1)
+            acc, wt = gather_step(
+                acc, wt, k_p, recorded, positions, wavelengths, data
+            )
+        return acc, wt
+
+    return film, sample_step
+
+
+def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
+    film, settings, camera_step, gather_step = _build_parts(project_data, scene)
+    camera_step = jax.jit(camera_step)
+    gather_step = jax.jit(gather_step)
 
     acc, wt = film.new_buffers()
     key = jax.random.PRNGKey(seed)
@@ -351,3 +378,27 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
                 RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film)
             )
     return film, acc, wt
+
+
+def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None, resume=None):
+    """Multi-device photon mapping: each device runs complete pixel passes
+    (camera trace + its own photon batches) — independent progressive
+    estimators whose weighted film sums merge with one all-reduce."""
+    from ..parallel.mesh import run_sharded
+
+    film, step = make_sample_step(project_data, scene)
+    settings = project_data.project.renderer
+    total = settings.pixel_samples if max_samples is None else min(
+        settings.pixel_samples, max_samples
+    )
+    return run_sharded(
+        step,
+        film,
+        mesh,
+        scene.device_data(),
+        total,
+        seed=seed,
+        on_progress=on_progress,
+        resume=resume,
+        progress_cls=RenderProgress,
+    )

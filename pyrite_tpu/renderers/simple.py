@@ -74,11 +74,13 @@ def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None) -> int:
     return rows
 
 
-def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None):
+def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, jit=True):
     """Build the jitted one-sample-per-pixel accumulation step.
 
     The step takes the scene's device data as an argument (scene.device_data())
-    so geometry and texture arrays are jit inputs, not compiled constants."""
+    so geometry and texture arrays are jit inputs, not compiled constants.
+    ``jit=False`` returns the traced function un-jitted (for wrapping in a
+    shard_map, which jits at the outer level)."""
     rows = film.height if rows is None else rows
 
     def step(acc, wt, key, data, row0=0):
@@ -100,7 +102,7 @@ def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCo
                 film, acc, wt, row0, wavelengths, brightness, weights, mask
             )
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
 
 @dataclass
@@ -157,16 +159,12 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     return film, acc, wt
 
 
-def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None):
+def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None, resume=None):
     """Multi-device rendering: the sample axis is sharded over ``mesh`` (one
     stratified sample per device per step into per-device film shards), and
-    the film merge is a single all-reduce at development time."""
-    from ..parallel.mesh import (
-        device_film_buffers,
-        merge_films,
-        sharded_render_step,
-        step_keys,
-    )
+    the film merge is a single all-reduce at development time. Honors the
+    exact requested sample count and checkpoint resume (parallel.run_sharded)."""
+    from ..parallel.mesh import run_sharded
 
     project = project_data.project
     settings = project.renderer
@@ -182,29 +180,21 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         light_samples=settings.light_samples,
         spectrum_samples=settings.spectrum_samples,
     )
-    step = make_render_step(scene, film, camera, cfg)
-    sharded = sharded_render_step(step, mesh)
-
-    n_devices = mesh.devices.size
-    acc, wt = device_film_buffers(film, mesh)
-    data = scene.device_data()
-    key = jax.random.PRNGKey(seed)
+    rows = pick_rows(film, scene, cfg)
+    step = make_render_step(scene, film, camera, cfg, rows=rows, jit=False)
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
-    steps = max(1, total // n_devices)
-    for i in range(steps):
-        acc, wt = sharded(acc, wt, step_keys(key, n_devices, i), data)
-        if on_progress is not None:
-            merged_acc, merged_wt = merge_films(acc, wt)
-            on_progress(
-                RenderProgress(
-                    sample=(i + 1) * n_devices,
-                    total=steps * n_devices,
-                    acc=merged_acc,
-                    wt=merged_wt,
-                    film=film,
-                )
-            )
-    merged_acc, merged_wt = merge_films(acc, wt)
-    return film, merged_acc, merged_wt
+    return run_sharded(
+        step,
+        film,
+        mesh,
+        scene.device_data(),
+        total,
+        seed=seed,
+        chunks=film.height // rows,
+        rows=rows,
+        on_progress=on_progress,
+        resume=resume,
+        progress_cls=RenderProgress,
+    )
