@@ -1,81 +1,262 @@
-"""Benchmark: steady-state trace throughput on the reference spheres scene.
+"""Benchmarks: the three BASELINE.md tracked metrics plus the two headline
+workload classes (simple + BDPT + large mesh).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line; the primary metric is steady-state trace throughput on
+the reference spheres scene, with the other entries under "extras":
+  - trace throughput, spheres 512x256 simple (Mrays/sec/chip, LIVE lanes)
+  - sampling rate, cornell 512x512 BDPT (spp/sec at 512^2)
+  - time-to-noise-target, spheres (seconds until consecutive previews differ
+    by < 2/255 mean absolute luminance)
+  - trace throughput, synthetic 328k-tri terrain (dragon-class large mesh)
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against the north-star target of 100 Mrays/sec/chip (BASELINE.json). Rays
-counted are the ray-scene intersection tests actually executed per render
-step: every bounce runs 1 path-extension intersection plus light_samples
-shadow-ray intersections per wavefront lane.
+Ray accounting counts LIVE lanes only: an un-timed instrumented pass sums the
+path rays whose `alive` mask is set entering each bounce (each of which also
+spawns `light_samples` shadow rays); terminated lanes' masked work is not
+credited. vs_baseline is measured against the north-star target of
+100 Mrays/sec/chip (BASELINE.json; the reference publishes no numbers).
 
 Timing note: on the axon TPU backend jax.block_until_ready does not reliably
-synchronize, so the measurement brackets K steps between two scalar fetches
-(which do force completion) and subtracts nothing — the fetch cost is
-amortized over K.
+synchronize, so measurements bracket K steps between two scalar fetches
+(which do force completion); the fetch cost is amortized over K.
 """
 
 import json
 import time
 
 
-def main():
-    import jax
+def _steady_time(step_fn, acc, wt, keys, data):
+    """Time len(keys) steps bracketed by scalar fetches; returns (s/step, acc, wt)."""
+    t0 = time.time()
+    for k in keys:
+        acc, wt = step_fn(acc, wt, k, data)
+    float(acc.sum())
+    return (time.time() - t0) / len(keys), acc, wt
 
+
+def _build(scene_path):
     from pyrite_tpu.film import Film
     from pyrite_tpu.project import load_project
     from pyrite_tpu.scene import CameraModel, build_scene
-    from pyrite_tpu.renderers.simple import make_render_step
     from pyrite_tpu.tracer import TraceConfig
 
-    scene_path = "/root/reference/pyrite/test/spheres/spheres.lua"
     project_data = load_project(scene_path)
     scene = build_scene(project_data)
-    project = project_data.project
-    settings = project.renderer
-
+    settings = project_data.project.renderer
     film = Film(
-        width=project.image.width,
-        height=project.image.height,
+        width=project_data.project.image.width,
+        height=project_data.project.image.height,
         bins=settings.spectrum_bins,
         span=settings.spectrum_span,
     )
-    camera = CameraModel.from_ir(project.camera)
+    camera = CameraModel.from_ir(project_data.project.camera)
     cfg = TraceConfig(
         bounces=settings.bounces,
         light_samples=settings.light_samples,
         spectrum_samples=settings.spectrum_samples,
     )
-    step = make_render_step(scene, film, camera, cfg)
+    return project_data, scene, film, camera, cfg
+
+
+def _live_rays_per_step(scene, film, camera, cfg, key, rows):
+    """Instrumented (un-timed) pass: live path rays summed over bounces for
+    one render step, each counting 1 extension + light_samples shadow rays."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyrite_tpu import tracer
+    from pyrite_tpu.renderers.simple import chunk_rays
+
+    def stats(key, data):
+        with scene.bind(data):
+            total = jnp.zeros((), jnp.float32)
+            chunks = film.height // rows
+            for c in range(chunks):
+                k_c = jax.random.fold_in(key, c)
+                _, origin, direction, wavelengths = chunk_rays(
+                    film, camera, cfg, k_c, row0=c * rows, rows=rows
+                )
+                n, s = wavelengths.shape
+                state = {
+                    "origin": origin,
+                    "direction": direction,
+                    "brightness": jnp.zeros((n, s)),
+                    "reflectance": jnp.ones((n, s)),
+                    "alive": jnp.ones(n, bool),
+                    "aux_alive": jnp.ones(n, bool),
+                    "sample_light": jnp.ones(n, bool),
+                    "light_events": jnp.zeros(n, jnp.int32),
+                }
+
+                def body(state, bounce_key):
+                    live = jnp.sum(state["alive"].astype(jnp.float32))
+                    new_state, _ = tracer.bounce_core(
+                        scene, cfg, wavelengths, state, bounce_key
+                    )
+                    return new_state, live
+
+                keys = jax.random.split(jax.random.fold_in(k_c, 7), cfg.bounces)
+                _, live = jax.lax.scan(body, state, keys)
+                total = total + jnp.sum(live)
+            return total
+
+    live = float(jax.jit(stats)(key, scene.device_data()))
+    return live * (1 + cfg.light_samples)
+
+
+def bench_simple(scene_path, steps=10):
+    """Steady-state live-lane Mrays/s on a simple-renderer scene."""
+    import jax
+    import numpy as np
+
+    from pyrite_tpu.renderers.simple import make_render_step, pick_rows
+
+    _, scene, film, camera, cfg = _build(scene_path)
+    rows = pick_rows(film, scene, cfg)
+    step = make_render_step(scene, film, camera, cfg, rows=rows)
+    chunks = film.height // rows
 
     acc, wt = film.new_buffers()
     data = scene.device_data()
     key = jax.random.PRNGKey(0)
-
-    # warmup / compile, synchronized by a real fetch
-    acc, wt = step(acc, wt, key, data)
+    acc, wt = step(acc, wt, key, data)  # warmup / compile
     float(acc.sum())
 
-    steps = 10
+    live_rays = _live_rays_per_step(scene, film, camera, cfg, key, rows)
+
+    def full_step(acc, wt, k, data):
+        for c in range(chunks):
+            acc, wt = step(acc, wt, jax.random.fold_in(k, c), data, c * rows)
+        return acc, wt
+
+    # warm every chunk shape, then time
+    acc, wt = full_step(acc, wt, key, data)
+    float(acc.sum())
+    keys = [jax.random.fold_in(key, 1000 + i) for i in range(steps)]
+    per_step, acc, wt = _steady_time(full_step, acc, wt, keys, data)
+    return live_rays / per_step / 1e6
+
+
+def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_every=4):
+    """Seconds of rendering until consecutive previews (every ``check_every``
+    samples) differ by < threshold mean absolute luminance — the practical
+    'image has stopped changing' target."""
     import numpy as np
 
-    keys = np.asarray(jax.random.split(key, steps))
-    t0 = time.time()
-    for i in range(steps):
-        acc, wt = step(acc, wt, keys[i], data)
-    float(acc.sum())  # forces completion of the whole chain
-    elapsed = (time.time() - t0) / steps
+    from pyrite_tpu.renderers import simple as mod
 
-    lanes = film.width * film.height
-    rays_per_step = lanes * settings.bounces * (1 + settings.light_samples)
-    mrays = rays_per_step / elapsed / 1e6
+    project_data, scene, film, camera, cfg = _build(scene_path)
+
+    state = {"t0": None, "prev": None, "answer": None}
+
+    def on_progress(progress):
+        if state["t0"] is None:
+            state["t0"] = time.time()  # first sample done: compile excluded
+        if state["answer"] is not None or progress.sample % check_every:
+            return
+        img = np.asarray(
+            progress.film.to_image(progress.acc, progress.wt, 30.0, None)
+        ).astype(np.float32).mean(axis=2) / 255.0
+        if state["prev"] is not None:
+            delta = np.abs(img - state["prev"]).mean()
+            if delta < threshold:
+                state["answer"] = time.time() - state["t0"]
+        state["prev"] = img
+
+    mod.render(project_data, scene, seed=0, on_progress=on_progress, max_samples=max_spp)
+    return state["answer"] if state["answer"] is not None else float("nan")
+
+
+def bench_bdpt_spp(scene_path, samples=4):
+    """Steady-state spp/s of the bidirectional renderer (cornell 512x512)."""
+    from pyrite_tpu.project import load_project
+    from pyrite_tpu.scene import build_scene
+    from pyrite_tpu.renderers import bidirectional as mod
+
+    project_data = load_project(scene_path)
+    scene = build_scene(project_data)
+    times = []
+
+    def on_progress(progress):
+        times.append(time.time())
+
+    mod.render(
+        project_data, scene, seed=0, on_progress=on_progress, max_samples=samples
+    )
+    # first sample includes the jit compile; rate from the rest
+    if len(times) < 2:
+        return float("nan")
+    return (len(times) - 1) / (times[-1] - times[0])
+
+
+def bench_terrain(steps=3):
+    """Steady-state live-lane Mrays/s on the synthetic 328k-triangle terrain
+    (dragon-class large mesh; the reference's dragon OBJ is stripped)."""
+    import tempfile
+
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from tools.synthetic import terrain_scene
+
+    lua, tris = terrain_scene(
+        tempfile.mkdtemp(), cells=405, width=256, height=128, spp=8, bounces=4
+    )
+    return bench_simple(lua, steps=steps), tris
+
+
+def main():
+    extras = []
+
+    spheres = "/root/reference/pyrite/test/spheres/spheres.lua"
+    cornell = "/root/reference/pyrite/test/cornell/cornell.lua"
+
+    mrays = bench_simple(spheres)
+
+    try:
+        spp_rate = bench_bdpt_spp(cornell)
+        extras.append(
+            {
+                "metric": "sampling rate, cornell 512x512 bidirectional",
+                "value": round(spp_rate, 4),
+                "unit": "spp/sec",
+            }
+        )
+    except Exception as error:  # never lose the primary line
+        extras.append({"metric": "cornell bdpt spp/sec", "error": repr(error)})
+
+    try:
+        terrain_mrays, tris = bench_terrain()
+        extras.append(
+            {
+                "metric": f"trace throughput, synthetic terrain {tris} tris simple",
+                "value": round(terrain_mrays, 3),
+                "unit": "Mrays/sec/chip",
+            }
+        )
+    except Exception as error:
+        extras.append({"metric": "terrain Mrays/sec", "error": repr(error)})
+
+    try:
+        ttn = bench_time_to_noise(spheres)
+        extras.append(
+            {
+                "metric": "time to noise target, spheres 512x256 "
+                "(consecutive previews < 2/255 mean |delta|)",
+                "value": round(ttn, 2),
+                "unit": "seconds",
+            }
+        )
+    except Exception as error:
+        extras.append({"metric": "time-to-noise seconds", "error": repr(error)})
 
     print(
         json.dumps(
             {
-                "metric": "trace throughput, spheres 512x256 simple renderer",
+                "metric": "trace throughput, spheres 512x256 simple renderer "
+                "(live lanes only)",
                 "value": round(mrays, 3),
                 "unit": "Mrays/sec/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
+                "extras": extras,
             }
         )
     )

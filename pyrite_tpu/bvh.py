@@ -316,3 +316,112 @@ def traverse(bvh_arrays, origin, direction, intersect_prim, init_best, max_nodes
         return state
 
     return jax.vmap(per_ray)(origin, direction, inv_dir, init_best)
+
+
+# =============================================================================
+# Wide (16-ary) BVH over leaf clusters — device traversal layout
+# =============================================================================
+
+WIDE_FANOUT = 16
+WIDE_LEVELS = 3  # root -> L1 -> L2 -> leaf slots; capacity 16^3 = 4096 leaves
+WIDE_ROWS = 1 + WIDE_FANOUT + WIDE_FANOUT * WIDE_FANOUT  # 273
+
+
+def _split_grouped(lo, hi, centroids, idx, k, cap):
+    """Split ``idx`` into <= k groups of <= cap elements, SAH-guided with a
+    sorted-cut rebalance when a side would overflow its capacity."""
+    if len(idx) <= cap or k == 1:
+        return [idx]
+    half = k // 2
+    lcap, rcap = half * cap, (k - half) * cap
+    first, second = _sah_split(lo, hi, centroids, idx)
+    if len(first) > lcap or len(second) > rcap:
+        extent = centroids[idx].max(axis=0) - centroids[idx].min(axis=0)
+        axis = int(np.argmax(extent))
+        order = np.argsort(centroids[idx, axis], kind="stable")
+        cut = int(np.clip(len(first), max(1, len(idx) - rcap),
+                          min(lcap, len(idx) - 1)))
+        sorted_idx = idx[order]
+        first, second = sorted_idx[:cut], sorted_idx[cut:]
+    return _split_grouped(lo, hi, centroids, first, half, cap) + _split_grouped(
+        lo, hi, centroids, second, k - half, cap
+    )
+
+
+def build_wide_bvh(leaf_lo: np.ndarray, leaf_hi: np.ndarray):
+    """Group ``L <= 4096`` leaf-cluster AABBs into a positional 16-ary,
+    3-level hierarchy for the TPU traversal.
+
+    Returns (rows [273, 128] f32, slot_of_leaf [L] int32):
+    - row r holds the 16 child AABBs of one node as columns
+      [minx(16) | miny | minz | maxx | maxy | maxz | 32 pad]; empty child
+      slots are (+inf, -inf) boxes that can never be hit. Row 0 is the root,
+      rows 1..16 the L1 nodes (children of root child i), rows 17..272 the
+      L2 nodes (positional: L2 node (i, j) is row 17 + i*16 + j).
+    - leaf ids are positional too: child k of L2 node (i, j) is leaf slot
+      (i*16 + j)*16 + k, so the traversal derives geometry indices without
+      a pointer gather.
+
+    One gather fetches a whole node (TPU row-gathers cost ~constant time per
+    row), replacing ~2 levels of binary skip-link steps per popped node; the
+    per-ray pending sets are 16-bit masks, one per level — no stack.
+    Reference semantics: spatial/bvh.rs:201-230 (prune on miss or entry
+    beyond current best).
+    """
+    num_leaves = len(leaf_lo)
+    assert 1 <= num_leaves <= WIDE_FANOUT ** WIDE_LEVELS
+    centroids = (leaf_lo + leaf_hi) * 0.5
+
+    rows = np.zeros((WIDE_ROWS, 128), np.float32)
+    rows[:, 0:48] = np.inf
+    rows[:, 48:96] = -np.inf
+
+    def put(row, col, lo, hi):
+        rows[row, 0 + col] = lo[0]
+        rows[row, 16 + col] = lo[1]
+        rows[row, 32 + col] = lo[2]
+        rows[row, 48 + col] = hi[0]
+        rows[row, 64 + col] = hi[1]
+        rows[row, 80 + col] = hi[2]
+        # validity bitmask (column 97): the min/max slab test cannot reject
+        # an inverted sentinel box (it sorts the two planes), so empty child
+        # slots MUST be masked out explicitly. Exact in f32 (<= 65535).
+        rows[row, 97] = float(int(rows[row, 97]) | (1 << col))
+
+    def order_children(groups_lo, row):
+        """Order a node's children along the dominant axis of their centers
+        and record the axis (row column 96), so the traversal can pop
+        front-to-back per ray (by direction sign) — fast t convergence makes
+        the pending-mask re-pruning effective."""
+        centers = np.asarray([0.5 * (lo + hi) for lo, hi in groups_lo])
+        axis = int(np.argmax(centers.max(axis=0) - centers.min(axis=0))) if len(
+            centers
+        ) > 1 else 0
+        rows[row, 96] = axis
+        return np.argsort(centers[:, axis], kind="stable")
+
+    slot_of_leaf = np.zeros(num_leaves, np.int32)
+    all_ids = np.arange(num_leaves)
+    l1_groups = _split_grouped(
+        leaf_lo, leaf_hi, centroids, all_ids, WIDE_FANOUT, WIDE_FANOUT ** 2
+    )
+    bounds = [(leaf_lo[g].min(axis=0), leaf_hi[g].max(axis=0)) for g in l1_groups]
+    l1_groups = [l1_groups[o] for o in order_children(bounds, 0)]
+    for i, g1 in enumerate(l1_groups):
+        put(0, i, leaf_lo[g1].min(axis=0), leaf_hi[g1].max(axis=0))
+        l2_groups = _split_grouped(
+            leaf_lo, leaf_hi, centroids, g1, WIDE_FANOUT, WIDE_FANOUT
+        )
+        bounds = [
+            (leaf_lo[g].min(axis=0), leaf_hi[g].max(axis=0)) for g in l2_groups
+        ]
+        l2_groups = [l2_groups[o] for o in order_children(bounds, 1 + i)]
+        for j, g2 in enumerate(l2_groups):
+            put(1 + i, j, leaf_lo[g2].min(axis=0), leaf_hi[g2].max(axis=0))
+            row2 = 17 + i * WIDE_FANOUT + j
+            bounds = [(leaf_lo[le], leaf_hi[le]) for le in g2]
+            g2 = np.asarray(g2)[order_children(bounds, row2)]
+            for k, leaf in enumerate(g2):
+                put(row2, k, leaf_lo[leaf], leaf_hi[leaf])
+                slot_of_leaf[leaf] = (i * WIDE_FANOUT + j) * WIDE_FANOUT + k
+    return rows, slot_of_leaf

@@ -120,7 +120,10 @@ def _light_splats(
         mask &= ok
         mask &= (jnp.abs(view_xy[:, 0]) < 1.0) & (jnp.abs(view_xy[:, 1]) < 1.0)
 
-        t_hit = intersect_shadow(scene, world_origin, direction, cfg)
+        t_hit = intersect_shadow(
+            scene, world_origin, direction, cfg,
+            max_dist=distance, block_below=distance - DIST_EPSILON,
+        )
         mask &= ~(jnp.isfinite(t_hit) & (t_hit < distance - DIST_EPSILON))
 
         scale = 1.0 / jnp.maximum(distance * distance, 1e-20)
@@ -208,7 +211,10 @@ def make_render_step(
                     good &= jnp.sum(info["normal"] * conn_dir, axis=-1) > 0.0
                     good &= jnp.sum(path["normal"][:, k] * -conn_dir, axis=-1) > 0.0
 
-                    t_hit = intersect_shadow(scene, info["position"], conn_dir, cfg)
+                    t_hit = intersect_shadow(
+                        scene, info["position"], conn_dir, cfg,
+                        max_dist=dist, block_below=dist - DIST_EPSILON,
+                    )
                     good &= ~(jnp.isfinite(t_hit) & (t_hit < dist - DIST_EPSILON))
 
                     cos_out = jnp.abs(jnp.sum(info["normal"] * conn_dir, axis=-1))

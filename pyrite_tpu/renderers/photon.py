@@ -91,6 +91,50 @@ def _hash_cells(positions, radius):
     ), cell
 
 
+# the 27 neighbor-cell offsets scanned around each query point
+_CELL_OFFSETS = jnp.asarray(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    jnp.int32,
+)
+
+
+def grid_prepare(p_pos, p_valid, q_pos, radius):
+    """Sort photons by cell key and locate the 27 neighbor cells of each
+    query: returns (order [P], sorted_keys [P], starts [N, 27], ckeys [N, 27]).
+    Replaces the reference's kd-tree radius query (spatial/kd_tree.rs:47-106)
+    with a TPU-friendly sorted hash grid (cell size = gather radius)."""
+    key_of, _ = _hash_cells(p_pos, radius)
+    key_of = jnp.where(p_valid, key_of, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key_of)
+    sorted_keys = key_of[order]
+    _, q_cell = _hash_cells(q_pos, radius)
+    cells = q_cell[:, None, :] + _CELL_OFFSETS[None, :, :]
+    ckeys = (
+        cells[..., 0] * 73856093
+        ^ cells[..., 1] * 19349663
+        ^ cells[..., 2] * 83492791
+    )
+    n = q_pos.shape[0]
+    starts = jnp.searchsorted(sorted_keys, ckeys.reshape(-1)).reshape(n, 27)
+    return order, sorted_keys, starts, ckeys
+
+
+def grid_scan_slot(k, order, sorted_keys, starts, ckeys, p_valid, p_pos, q_pos, radius):
+    """Candidate photon for scan step k (cell k // CAP, slot k % CAP):
+    returns (pj [N] photon index, match [N] in-radius mask). Scanning all
+    27 * _CELL_CAP steps enumerates every in-radius photon exactly once
+    (provided no cell holds more than _CELL_CAP photons)."""
+    p_count = p_pos.shape[0]
+    c = k // _CELL_CAP
+    slot = k % _CELL_CAP
+    idx = jnp.clip(starts[:, c] + slot, 0, p_count - 1)
+    pj = order[idx]
+    match = (sorted_keys[idx] == ckeys[:, c]) & p_valid[pj]
+    d2 = jnp.sum((p_pos[pj] - q_pos) ** 2, axis=-1)
+    match &= d2 <= radius * radius
+    return pj, match
+
+
 def _gather(
     scene,
     film,
@@ -110,26 +154,8 @@ def _gather(
 
     p_pos = photons["position"]  # [P, 3]
     p_valid = photons["valid"]
-    p_count = p_pos.shape[0]
-
-    key_of, _ = _hash_cells(p_pos, radius)
-    key_of = jnp.where(p_valid, key_of, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key_of)
-    sorted_keys = key_of[order]
-
-    # photon power at the camera's wavelengths: [P, S] lookup from bins
-    def power_at(lam):  # lam [N, S] per query — evaluated per camera vertex set
-        # photons store power per film bin [P, B]
-        bins = film.wavelength_to_bin(lam)  # [N, S]
-        return photons["power_bins"], bins
 
     power_bins = photons["power_bins"]  # [P, B]
-
-    # precompute the 27 neighbor-cell key offsets
-    cell_offsets = jnp.asarray(
-        [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-        jnp.int32,
-    )  # [27, 3]
 
     for b in range(bounces):
         valid = cam["valid"][:, b]
@@ -139,29 +165,16 @@ def _gather(
         partialR = cam["partialR"][:, b]  # [N, S]
         cam_dispersed = cam["dispersed"][:, b]
 
-        _, q_cell = _hash_cells(pos, radius)
         bins = film.wavelength_to_bin(cam_wavelengths)  # [N, S]
-
-        # starts of all 27 neighbor cells in the sorted photon order [N, 27]
-        cells = q_cell[:, None, :] + cell_offsets[None, :, :]
-        ckeys = (
-            cells[..., 0] * 73856093
-            ^ cells[..., 1] * 19349663
-            ^ cells[..., 2] * 83492791
-        )
-        starts = jnp.searchsorted(sorted_keys, ckeys.reshape(-1)).reshape(n, 27)
+        order, sorted_keys, starts, ckeys = grid_prepare(p_pos, p_valid, pos, radius)
 
         cos_cam = jnp.maximum(jnp.sum(incident * -normal, axis=-1), 0.0)
 
         def gather_body(k, carry):
             gathered, num_neighbors = carry
-            c = k // _CELL_CAP
-            slot = k % _CELL_CAP
-            idx = jnp.clip(starts[:, c] + slot, 0, p_count - 1)
-            pj = order[idx]
-            match = (sorted_keys[idx] == ckeys[:, c]) & p_valid[pj]
-            d2 = jnp.sum((p_pos[pj] - pos) ** 2, axis=-1)
-            match &= d2 <= radius * radius
+            pj, match = grid_scan_slot(
+                k, order, sorted_keys, starts, ckeys, p_valid, p_pos, pos, radius
+            )
             match &= valid
             # both chains dispersed -> pair skipped (photon_mapping.rs:355)
             match &= ~(cam_dispersed & photons["dispersed"][pj])

@@ -38,9 +38,64 @@ LAMP_TRIANGLE = 3
 PRIM_TRIANGLE = 0
 PRIM_SPHERE = 1
 
-# above this many primitives, dense sweeps lose to a clustered BVH
-CLUSTER_THRESHOLD = 4096
-CLUSTER_LEAF = 32
+# Above this many primitives, dense sweeps lose to a clustered BVH. This
+# also memory-bounds the dense path: its [lanes, prims(chunked), 3]
+# intermediates OOM'd at ~5k prims in round 1, so the cluster path takes
+# over well below that (the cluster traversal caps its own lane budget).
+CLUSTER_THRESHOLD = 1024
+# Cluster (BVH leaf) size: each leaf's geometry is packed into ONE
+# [CLUSTER_LEAF, 12] row of clu_geo so a parked lane fetches its whole leaf
+# with a single row-gather. TPU row-gathers cost ~constant time per ROW
+# (measured ~3.5 ns/row on v5e regardless of row width up to >1 KB), so
+# larger clusters shift traversal cost from serial node-walk gathers to
+# dense VPU intersection sweeps.
+CLUSTER_LEAF = 128
+
+
+def cluster_leaf_size(total_prims: int) -> int:
+    """Leaf-cluster size: CLUSTER_LEAF, grown (in steps of 32) for scenes
+    whose leaf count would exceed the wide tree's 4096-slot capacity."""
+    from . import bvh as bvh_mod
+
+    capacity = bvh_mod.WIDE_FANOUT ** bvh_mod.WIDE_LEVELS
+    needed = -(-total_prims // capacity)
+    return max(CLUSTER_LEAF, -(-needed // 32) * 32)
+
+
+def pack_wide_clusters(perm_lo, perm_hi, geo_rows, leaf_size):
+    """Chunk the SAH DFS order into full ``leaf_size`` clusters and build the
+    wide 16-ary hierarchy over them.
+
+    ``perm_lo``/``perm_hi``/``geo_rows`` are prim AABBs and packed geometry
+    rows already in SAH depth-first (spatially coherent) order. Fixed-size
+    chunking of that order gives 100%-full leaves (exact flop/byte cost per
+    sweep) and an exact leaf count; only the final chunk is padded (with
+    kind = -1 rows that can never intersect).
+
+    Returns (rows [273, 128] f32, geo [slots, leaf_size, 12] f32).
+    """
+    from . import bvh as bvh_mod
+
+    total = len(geo_rows)
+    num_leaves = -(-total // leaf_size)
+    padded = num_leaves * leaf_size
+    geo_p = np.zeros((padded, 12), np.float32)
+    geo_p[..., 10] = -1.0
+    geo_p[:total] = geo_rows
+    lo_p = np.full((padded, 3), np.inf, np.float32)
+    hi_p = np.full((padded, 3), -np.inf, np.float32)
+    lo_p[:total] = perm_lo
+    hi_p[:total] = perm_hi
+
+    leaf_lo = lo_p.reshape(num_leaves, leaf_size, 3).min(axis=1)
+    leaf_hi = hi_p.reshape(num_leaves, leaf_size, 3).max(axis=1)
+    rows, slot_of_leaf = bvh_mod.build_wide_bvh(leaf_lo, leaf_hi)
+
+    slots = int(slot_of_leaf.max()) + 1
+    geo = np.zeros((slots, leaf_size, 12), np.float32)
+    geo[..., 10] = -1.0
+    geo[slot_of_leaf] = geo_p.reshape(num_leaves, leaf_size, 12)
+    return rows, geo
 
 
 def _mul_expr(lhs, rhs):
@@ -161,7 +216,8 @@ class Scene:
         self.num_materials = 0
         self.max_components = 1
         self.use_clusters = False
-        self.cluster_nodes = 0
+        self.cluster_leaf = 0
+        self.cluster_slots = 0
 
     @property
     def num_primitives(self):
@@ -581,10 +637,13 @@ def build_scene(project_data) -> Scene:
     scene.use_clusters = False
     total_prims = num_tris + num_sph
     if total_prims > CLUSTER_THRESHOLD:
+        # the binary SAH build is used only for its depth-first primitive
+        # ORDER (spatially coherent); a small leaf size gives a finer order
+        order_leaf = 32
         try:
             from . import native
 
-            clustered = native.build_bvh_clustered(prim_lo, prim_hi, CLUSTER_LEAF)
+            clustered = native.build_bvh_clustered(prim_lo, prim_hi, order_leaf)
         except Exception:
             clustered = None
         if clustered is None:
@@ -592,23 +651,15 @@ def build_scene(project_data) -> Scene:
             # (never fall back to the vmapped-while_loop flat traversal,
             # which faults on the axon TPU backend)
             clustered = bvh_mod.build_bvh_clustered_python(
-                prim_lo, prim_hi, CLUSTER_LEAF
+                prim_lo, prim_hi, order_leaf
             )
         if clustered is not None:
-            cl_min, cl_max, cl_subtree, cl_start, cl_count, perm = clustered
+            perm = clustered[5]
             prim_kind = prim_kind[perm]
             prim_ref = prim_ref[perm]
             scene.use_clusters = True
-            scene.cluster_nodes = len(cl_subtree)
-            scene.arrays["clu_bbox_min"] = jnp.asarray(cl_min)
-            scene.arrays["clu_bbox_max"] = jnp.asarray(cl_max)
-            scene.arrays["clu_subtree"] = jnp.asarray(cl_subtree)
-            scene.arrays["clu_leaf_start"] = jnp.asarray(cl_start)
-            scene.arrays["clu_leaf_count"] = jnp.asarray(cl_count)
-            # leaf-ordered packed geometry: one [slots, 12] f32 row per
-            # primitive (v0/center, e1, e2, radius, kind, ref) so the leaf
-            # sweep is a single gather of contiguous rows instead of five
-            # indirect gathers through prim_ref
+            # perm-ordered packed geometry rows (v0/center, e1, e2, radius,
+            # kind, ref), one [12] f32 row per primitive
             geo = np.zeros((total_prims, 12), np.float32)
             tm = prim_kind == PRIM_TRIANGLE
             sm = ~tm
@@ -623,7 +674,14 @@ def build_scene(project_data) -> Scene:
                 geo[sm, 9] = np.asarray(sph_radius, np.float32)[sr]
             geo[:, 10] = prim_kind
             geo[:, 11] = prim_ref
-            scene.arrays["clu_geo"] = jnp.asarray(geo)
+            leaf_size = cluster_leaf_size(total_prims)
+            rows, packed_geo = pack_wide_clusters(
+                prim_lo[perm], prim_hi[perm], geo, leaf_size
+            )
+            scene.cluster_leaf = leaf_size
+            scene.cluster_slots = packed_geo.shape[0]
+            scene.arrays["wide_rows"] = jnp.asarray(rows)
+            scene.arrays["clu_geo"] = jnp.asarray(packed_geo)
     # small scenes use the dense sweep; large ones the clustered traversal —
     # the vmapped-while_loop flat BVH is never a device path (it faults on
     # the axon TPU backend)

@@ -29,10 +29,13 @@ from .scene import (
     BSDF_EMISSIVE,
     BSDF_MIRROR,
     BSDF_REFRACTIVE,
+    CLUSTER_LEAF,
+    CLUSTER_THRESHOLD,
     LAMP_DIRECTIONAL,
     LAMP_POINT,
     LAMP_SPHERE,
     LAMP_TRIANGLE,
+    PRIM_SPHERE,
     PRIM_TRIANGLE,
     Scene,
 )
@@ -226,7 +229,11 @@ def _intersect_de(shape, origin, direction, max_steps):
     return ok, jnp.where(ok, total, jnp.inf), local_origin
 
 
-BRUTE_FORCE_PRIMS = 4096  # below this, dense tests beat divergent traversal
+# Below this, dense tests beat divergent traversal. Equal to
+# scene.CLUSTER_THRESHOLD so every non-empty primitive set has a device path
+# (scene.py guarantees use_clusters above the threshold) and the dense
+# sweep's [lanes, prims, 3] intermediates stay HBM-safe.
+BRUTE_FORCE_PRIMS = CLUSTER_THRESHOLD
 _BRUTE_CHUNK = 256
 
 
@@ -299,14 +306,23 @@ def _brute_force_spheres(scene, origin, direction, best):
     return best
 
 
-def intersect_shadow(scene: Scene, origin, direction, cfg: TraceConfig):
-    """Occlusion-only query: nearest hit distance (inf when unoccluded).
+def intersect_shadow(
+    scene: Scene, origin, direction, cfg: TraceConfig,
+    max_dist=None, block_below=None,
+):
+    """Occlusion-only query: nearest hit distance up to ``max_dist``.
 
     Cheaper than intersect_scene: no surface bookkeeping, just a running
-    min-t over planes, primitives, and DE shapes."""
+    min-t over planes, primitives, and DE shapes. When ``max_dist`` ([N],
+    the distance to the light) is given, the clustered traversal starts its
+    best-t there so subtrees beyond the target are pruned, and unoccluded
+    lanes return ``max_dist`` instead of inf (callers only compare against
+    ``max_dist - epsilon``, so the semantics are unchanged). ``block_below``
+    ([N]) is the caller's occlusion bound: a lane that finds any hit below
+    it is definitively blocked and exits the traversal early."""
     n = origin.shape[0]
     a = scene.arrays
-    t_best = jnp.full(n, jnp.inf)
+    t_best = jnp.full(n, jnp.inf) if max_dist is None else max_dist
 
     if scene.num_planes > 0:
         hit, t = geom.ray_plane(
@@ -319,7 +335,8 @@ def intersect_shadow(scene: Scene, origin, direction, cfg: TraceConfig):
 
     if scene.use_clusters:
         t_state = _cluster_traverse(
-            scene, origin, direction, {"t": t_best}, _cluster_leaf_shadow(scene)
+            scene, origin, direction, {"t": t_best}, _cluster_leaf_shadow(scene),
+            exit_below=block_below,
         )
         t_best = t_state["t"]
     elif 0 < scene.num_primitives <= BRUTE_FORCE_PRIMS:
@@ -837,8 +854,14 @@ def trace_direct(
         cos_out = jnp.maximum(geom.dot(flip, samp["direction"]), 0.0)
         contributes = active & (cos_out > 0.0)
 
-        # shadow ray
-        t_hit = intersect_shadow(scene, position, samp["direction"], cfg)
+        # shadow ray, pruned at the lamp distance with any-hit early exit
+        # below the caller's own occlusion bound
+        lamp_dist = jnp.sqrt(samp["sq_distance"])
+        block_below = jnp.sqrt(jnp.maximum(samp["sq_distance"] - DIST_EPSILON, 0.0))
+        t_hit = intersect_shadow(
+            scene, position, samp["direction"], cfg,
+            max_dist=lamp_dist, block_below=block_below,
+        )
         has_hit = jnp.isfinite(t_hit)
         hit_sq = jnp.where(has_hit, t_hit * t_hit, jnp.inf)
         blocked = jnp.where(
@@ -1379,144 +1402,271 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # Clustered-BVH traversal (large scenes)
 # =============================================================================
 
-CLUSTER_LEAF = 32
+# Wide-tree pops between sweeps, leaves swept per parked lane per outer
+# iteration, and the compaction width (sweep at most n // COMPACT_DIV parked
+# lanes per outer iteration; lanes parked beyond the width wait for the next
+# iteration). Tuned on TPU v5e (327k-tri terrain).
+CLUSTER_WALK_STEPS = 2
+SWEEP_LEAVES = 2
+COMPACT_DIV = 6
+COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 
 
-def _cluster_traverse(scene: Scene, origin, direction, init_state, leaf_sweep):
-    """Batched clustered-BVH traversal (no per-lane loops).
+def _lowbit_index(m):
+    """Index of the lowest set bit (0 for m == 0). Exact via float log2:
+    masks are 16-bit, far inside f32's exact-integer range."""
+    lb = (m & -m).astype(jnp.float32)
+    return jnp.round(jnp.log2(jnp.maximum(lb, 1.0))).astype(jnp.int32)
 
-    Each outer iteration advances every ray up to WALK_STEPS skip-link node
-    steps (stopping on a leaf whose AABB is entered closer than the current
-    best hit), then runs one vectorized [rays, 64] sweep for the lanes parked
-    on a leaf. Everything is plain masked array math, which both vectorizes
-    on the VPU and avoids vmapped while_loops (which fault on this TPU
-    stack)."""
-    WALK_STEPS = 12
 
-    a = scene.arrays
-    bbox_min = a["clu_bbox_min"]
-    bbox_max = a["clu_bbox_max"]
-    subtree = a["clu_subtree"]
-    leaf_start = a["clu_leaf_start"]
-    leaf_count = a["clu_leaf_count"]
-    max_nodes = scene.cluster_nodes
+def _pop_bit(m, from_high):
+    """Pop the lowest (or highest, per lane) set bit: returns (k, m')."""
+    kl = _lowbit_index(m)
+    kh = jnp.floor(
+        jnp.log2(jnp.maximum(m, 1).astype(jnp.float32) + 0.5)
+    ).astype(jnp.int32)
+    k = jnp.where(from_high, kh, kl)
+    return k, m & ~(1 << k)
+
+
+def _axis_sign(row, direction):
+    """Whether the ray direction is negative along the row's child-sort axis
+    (row column 96) — i.e. whether front-to-back order pops from the high end."""
+    axis = row[:, 96].astype(jnp.int32)
+    d = jnp.where(
+        axis == 0,
+        direction[:, 0],
+        jnp.where(axis == 1, direction[:, 1], direction[:, 2]),
+    )
+    return d < 0.0
+
+
+def _slab16(row, origin, inv_dir, t_best):
+    """Slab test of 16 child AABBs per lane against the lane's ray.
+
+    ``row`` is [N, 128] (or [1, 128] broadcast): columns are
+    [minx(16) | miny | minz | maxx | maxy | maxz | axis | validity | pad].
+    Returns an int32 bitmask of valid children hit with entry < t_best
+    (math.rs:184-207 semantics, matching bvh.aabb_entry_distance). The
+    explicit validity mask is required: the sorted slab test cannot reject
+    an empty (inverted) sentinel box."""
+    o = origin[:, :, None]
+    i = inv_dir[:, :, None]
+    lo = jnp.stack([row[:, 0:16], row[:, 16:32], row[:, 32:48]], axis=1)
+    hi = jnp.stack([row[:, 48:64], row[:, 64:80], row[:, 80:96]], axis=1)
+    t1 = (lo - o) * i
+    t2 = (hi - o) * i
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=1)
+    hit = (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t_best[:, None])
+    shifts = (1 << jnp.arange(16)).astype(jnp.int32)
+    bits = jnp.sum(hit.astype(jnp.int32) * shifts[None, :], axis=1)
+    return bits & row[:, 97].astype(jnp.int32)
+
+
+def _cluster_traverse(
+    scene: Scene, origin, direction, init_state, leaf_sweep, exit_below=None
+):
+    """Wide-BVH (16-ary) traversal with bitmask stacks and ray compaction.
+
+    Per lane, the pending set at each of the 3 levels is a 16-bit mask (set
+    by one slab test of all 16 children of a popped node), so traversal
+    state is three ints — no stack. Each pop costs ONE [128]-float
+    row-gather (TPU row-gathers cost ~constant time per row, so the walk is
+    ~16x cheaper than an equivalent binary skip-link walk); positional
+    node/leaf numbering (bvh.build_wide_bvh) means no pointer gathers.
+
+    Each outer iteration advances every ray up to CLUSTER_WALK_STEPS pops
+    (lanes holding pending leaves park), compacts the parked lanes into a
+    dense prefix (cumsum + scatter — sweep gathers and intersection FLOPs
+    scale with the parked count, not the batch size), and runs one
+    vectorized [parked, CLUSTER_LEAF] sweep; a parked lane fetches its whole
+    leaf cluster with a single row-gather from clu_geo. For any-hit queries
+    ``exit_below`` terminates a lane at its first definitive blocker.
+
+    Everything is plain masked array math: it vectorizes on the VPU and
+    avoids vmapped while_loops (which fault on this TPU stack). Pruning
+    semantics match the reference's streaming traversal (spatial/
+    bvh.rs:201-230): subtrees are skipped when missed or entered beyond the
+    current best hit."""
+    rows = scene.arrays["wide_rows"]  # [273, 128]
+    max_slot = scene.cluster_slots - 1
 
     inv_dir = 1.0 / direction
     n = origin.shape[0]
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
 
-    # one [nodes, 8] f32 row per node (bbox_min, bbox_max, subtree size,
-    # leaf count) so each walk step is a single gather instead of four;
-    # subtree/count are exact in f32 well past any real node count
-    packed = jnp.concatenate(
-        [
-            bbox_min,
-            bbox_max,
-            subtree.astype(jnp.float32)[:, None],
-            leaf_count.astype(jnp.float32)[:, None],
-        ],
-        axis=1,
-    )
+    width = n // COMPACT_DIV
+    compact = n >= COMPACT_MIN and width > 0
 
-    def classify(cursor, t_best):
-        in_range = cursor < max_nodes
-        node = jnp.minimum(cursor, max_nodes - 1)
-        row = packed[node]
-        hit, entry = bvh_mod.aabb_entry_distance(
-            row[:, 0:3], row[:, 3:6], origin, inv_dir
-        )
-        useful = hit & (entry < t_best) & in_range
-        is_leaf = row[:, 7] > 0
-        return in_range, useful, is_leaf, row[:, 6].astype(jnp.int32), node
+    root = rows[0:1]
+    m0 = _slab16(root, origin, inv_dir, init_state["t"])
+    ph0 = _axis_sign(jnp.broadcast_to(root, (n, 128)), direction)
+    zeros = jnp.zeros(n, jnp.int32)
+    false = jnp.zeros(n, bool)
+    carry0 = (m0, zeros, zeros, zeros, zeros, ph0, false, false, init_state)
 
     def outer_cond(carry):
-        cursor, _ = carry
-        return jnp.any(cursor < max_nodes)
+        m0, m1, m2 = carry[0], carry[1], carry[2]
+        return jnp.any((m0 | m1 | m2) != 0)
 
     def outer_body(carry):
-        cursor, state = carry
+        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state = carry
 
-        def advance(_, cur):
-            in_range, useful, is_leaf, sub, _ = classify(cur, state["t"])
-            parked = (useful & is_leaf) | ~in_range
-            step = jnp.where(useful | is_leaf, 1, sub + 1)
-            return jnp.where(parked, cur, cur + step)
+        def pop(_, walk):
+            m0, m1, m2, cur1, cur2, ph0, ph1, ph2 = walk
+            parked = m2 != 0  # re-prune pending leaves with the current t
+            act1 = ~parked & (m1 != 0)  # pop an L2 node from cur1's mask
+            act0 = ~parked & (m1 == 0) & (m0 != 0)  # pop an L1 node
+            k1, m1_pop = _pop_bit(m1, ph1)
+            k0, m0_pop = _pop_bit(m0, ph0)
+            row_idx = jnp.where(
+                parked,
+                17 + cur2,
+                jnp.where(act1, 17 + cur1 * 16 + k1, jnp.where(act0, 1 + k0, 0)),
+            )
+            row = rows[row_idx]
+            bits = _slab16(row, origin, inv_dir, state["t"])
+            sign = _axis_sign(row, direction)
+            m2 = jnp.where(parked, m2 & bits, jnp.where(act1, bits, m2))
+            ph2 = jnp.where(act1, sign, ph2)
+            cur2 = jnp.where(act1, cur1 * 16 + k1, cur2)
+            m1 = jnp.where(act1, m1_pop, jnp.where(act0, bits, m1))
+            ph1 = jnp.where(act0, sign, ph1)
+            cur1 = jnp.where(act0, k0, cur1)
+            m0 = jnp.where(act0, m0_pop, m0)
+            return m0, m1, m2, cur1, cur2, ph0, ph1, ph2
 
-        cursor = jax.lax.fori_loop(0, WALK_STEPS, advance, cursor)
-
-        in_range, useful, is_leaf, _, node = classify(cursor, state["t"])
-        at_leaf = useful & is_leaf & in_range
-        # idle lanes gather from index 0 so their (masked-out) sweep reads
-        # concentrate on one cache line instead of random leaf starts
-        start = jnp.where(at_leaf, jnp.maximum(leaf_start[node], 0), 0)
-        count = jnp.where(at_leaf, leaf_count[node], 0)
-        updated = leaf_sweep(start, count, origin, direction, state)
-        state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(at_leaf, new, old), updated, state
+        m0, m1, m2, cur1, cur2, ph0, ph1, ph2 = jax.lax.fori_loop(
+            0, CLUSTER_WALK_STEPS, pop, (m0, m1, m2, cur1, cur2, ph0, ph1, ph2)
         )
-        return jnp.where(at_leaf, cursor + 1, cursor), state
 
-    _, state = jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.zeros(n, jnp.int32), init_state)
-    )
-    return state
+        at_leaf = m2 != 0
+        # pop up to SWEEP_LEAVES pending leaves per parked lane (popping an
+        # empty mask is a no-op: it yields bit 0 and stays empty)
+        ks, rest = [], m2
+        for _ in range(SWEEP_LEAVES):
+            k, rest_next = _pop_bit(rest, ph2)
+            ks.append((k, rest != 0))
+            rest = rest_next
+        m2_pop = rest
+        leaf_ids = jnp.stack(
+            [jnp.minimum(cur2 * 16 + k, max_slot) for k, _ in ks], axis=1
+        )
+        leaf_act = jnp.stack([has for _, has in ks], axis=1)
+
+        if not compact:
+            updated = leaf_sweep(leaf_ids, origin, direction, state, leaf_act)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(at_leaf, new, old), updated, state
+            )
+            swept = at_leaf
+        else:
+            # ray compaction: scatter the first `width` parked lane ids into
+            # a dense prefix, sweep only those, scatter results back
+            pos = jnp.cumsum(at_leaf) - 1
+            swept = at_leaf & (pos < width)
+            sel = (
+                jnp.zeros(width, jnp.int32)
+                .at[jnp.where(swept, pos, width)]
+                .set(lane_ids, mode="drop")
+            )
+            n_swept = jnp.minimum(jnp.sum(at_leaf), width)
+            valid = jnp.arange(width) < n_swept
+
+            sub_state = jax.tree_util.tree_map(lambda x: x[sel], state)
+            updated = leaf_sweep(
+                leaf_ids[sel], origin[sel], direction[sel], sub_state,
+                leaf_act[sel] & valid[:, None],
+            )
+            # unfilled prefix slots alias lane 0: drop them on the way back
+            back = jnp.where(valid, sel, n)
+            state = jax.tree_util.tree_map(
+                lambda old, new: old.at[back].set(new, mode="drop"),
+                state,
+                updated,
+            )
+
+        m2 = jnp.where(swept, m2_pop, m2)
+        if exit_below is not None:
+            # any-hit query: a lane that found a definitive blocker exits
+            done = state["t"] < exit_below
+            m0 = jnp.where(done, 0, m0)
+            m1 = jnp.where(done, 0, m1)
+            m2 = jnp.where(done, 0, m2)
+        return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state
+
+    carry = jax.lax.while_loop(outer_cond, outer_body, carry0)
+    return carry[-1]
+
+
+def _leaf_geometry(scene: Scene, leaf_ids, active):
+    """Gather SWEEP_LEAVES whole leaf clusters per lane (one row-gather per
+    lane per leaf) and flatten them into a [P, Q*LEAF, 12] prim sheet with a
+    matching activity mask."""
+    geo = scene.arrays["clu_geo"]  # [slots, CLUSTER_LEAF, 12] (scene.py)
+    p, q = leaf_ids.shape
+    leaf = geo.shape[1]
+    g = geo[leaf_ids].reshape(p, q * leaf, 12)
+    act = jnp.repeat(active, leaf, axis=1)
+    return g, act
 
 
 def _cluster_leaf_closest(scene: Scene):
-    """Vectorized leaf sweep for closest-hit queries: [N, LEAF] tests."""
-    a = scene.arrays
-    geo = a["clu_geo"]  # leaf-ordered [slots, 12] packed rows (scene.py)
-    lanes = jnp.arange(CLUSTER_LEAF)
+    """Vectorized leaf sweep for closest-hit queries: [N, Q*LEAF] tests, one
+    geometry row-gather per lane per leaf, gather-free row-min selection."""
 
-    def leaf_sweep(start, count, origin, direction, state):
-        idx = jnp.minimum(start[:, None] + lanes[None, :], geo.shape[0] - 1)
-        in_leaf = lanes[None, :] < count[:, None]
-        g = geo[idx]  # single gather of contiguous rows per leaf
-        ref = g[..., 11].astype(jnp.int32)
+    def leaf_sweep(leaf_ids, origin, direction, state, active):
+        g, act = _leaf_geometry(scene, leaf_ids, active)
         o = origin[:, None, :]
         d = direction[:, None, :]
         tri_ok, tri_t, u, v = geom.ray_triangle(
             o, d, g[..., 0:3], g[..., 3:6], g[..., 6:9]
         )
         sph_ok, sph_t = geom.ray_sphere(o, d, g[..., 0:3], g[..., 9])
-        is_tri = g[..., 10] == PRIM_TRIANGLE
-        ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
+        kind = g[..., 10]
+        is_tri = kind == PRIM_TRIANGLE
+        ok = jnp.where(is_tri, tri_ok, sph_ok & (kind == PRIM_SPHERE))
+        ok = ok & act  # padded slots have kind == -1
         t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
-        rows = jnp.arange(t.shape[0])
-        j = jnp.argmin(t, axis=1)
-        tj = t[rows, j]
+        # gather-free row-min selection: pick the first column achieving the
+        # minimum via a masked sum (take_along_axis is slow on TPU)
+        tj = jnp.min(t, axis=1)
+        hitmin = ok & (t == tj[:, None])
+        first = hitmin & (jnp.cumsum(hitmin, axis=1) == 1)
+        pick = lambda arr: jnp.sum(jnp.where(first, arr, 0.0), axis=1)
         better = tj < state["t"]
+        won_tri = pick(is_tri.astype(jnp.float32)) > 0.5
         return {
             "t": jnp.where(better, tj, state["t"]),
             "kind": jnp.where(
                 better,
-                jnp.where(is_tri[rows, j], KIND_TRIANGLE, KIND_SPHERE),
+                jnp.where(won_tri, KIND_TRIANGLE, KIND_SPHERE),
                 state["kind"],
             ),
-            "idx": jnp.where(better, ref[rows, j], state["idx"]),
-            "u": jnp.where(better, u[rows, j], state["u"]),
-            "v": jnp.where(better, v[rows, j], state["v"]),
+            "idx": jnp.where(
+                better, pick(g[..., 11]).astype(jnp.int32), state["idx"]
+            ),
+            "u": jnp.where(better, pick(u), state["u"]),
+            "v": jnp.where(better, pick(v), state["v"]),
         }
 
     return leaf_sweep
 
 
 def _cluster_leaf_shadow(scene: Scene):
-    a = scene.arrays
-    geo = a["clu_geo"]
-    lanes = jnp.arange(CLUSTER_LEAF)
-
-    def leaf_sweep(start, count, origin, direction, state):
-        idx = jnp.minimum(start[:, None] + lanes[None, :], geo.shape[0] - 1)
-        in_leaf = lanes[None, :] < count[:, None]
-        g = geo[idx]
+    def leaf_sweep(leaf_ids, origin, direction, state, active):
+        g, act = _leaf_geometry(scene, leaf_ids, active)
         o = origin[:, None, :]
         d = direction[:, None, :]
         tri_ok, tri_t, _, _ = geom.ray_triangle(
             o, d, g[..., 0:3], g[..., 3:6], g[..., 6:9]
         )
         sph_ok, sph_t = geom.ray_sphere(o, d, g[..., 0:3], g[..., 9])
-        is_tri = g[..., 10] == PRIM_TRIANGLE
-        ok = jnp.where(is_tri, tri_ok, sph_ok) & in_leaf
+        kind = g[..., 10]
+        is_tri = kind == PRIM_TRIANGLE
+        ok = jnp.where(is_tri, tri_ok, sph_ok & (kind == PRIM_SPHERE))
+        ok = ok & act
         t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
         return {"t": jnp.minimum(state["t"], jnp.min(t, axis=1))}
 

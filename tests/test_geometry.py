@@ -200,7 +200,7 @@ def test_python_clustered_build_matches_brute_force():
     from pyrite_tpu.scene import PRIM_TRIANGLE
 
     rng = np.random.default_rng(11)
-    num = 700  # > a few leaves at CLUSTER_LEAF=32, still fast on CPU
+    num = 2500  # > a few leaves at CLUSTER_LEAF, still fast on CPU
     v0 = rng.uniform(-5, 5, size=(num, 3)).astype(np.float32)
     e1 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
     e2 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
@@ -208,15 +208,17 @@ def test_python_clustered_build_matches_brute_force():
     hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
 
     cl_min, cl_max, subtree, start, count, perm = bvh_mod.build_bvh_clustered_python(
-        lo, hi, tracer.CLUSTER_LEAF
+        lo, hi, 32
     )
     # structure: every primitive appears exactly once across leaf ranges
     assert sorted(perm.tolist()) == list(range(num))
     leaves = count > 0
-    assert (count[leaves] <= tracer.CLUSTER_LEAF).all()
+    assert (count[leaves] <= 32).all()
     assert count[leaves].sum() == num
     # skip-link consistency: leaf subtree sizes are 0, walk covers all nodes
     assert (subtree[leaves] == 0).all()
+
+    from pyrite_tpu.scene import pack_wide_clusters
 
     geo = np.zeros((num, 12), np.float32)
     geo[:, 0:3] = v0[perm]
@@ -224,15 +226,15 @@ def test_python_clustered_build_matches_brute_force():
     geo[:, 6:9] = e2[perm]
     geo[:, 10] = PRIM_TRIANGLE
     geo[:, 11] = perm
+    rows, packed_geo = pack_wide_clusters(
+        lo[perm], hi[perm], geo, tracer.CLUSTER_LEAF
+    )
     scene = types.SimpleNamespace(
-        cluster_nodes=len(subtree),
+        cluster_slots=packed_geo.shape[0],
+        cluster_leaf=tracer.CLUSTER_LEAF,
         arrays={
-            "clu_bbox_min": jnp.asarray(cl_min),
-            "clu_bbox_max": jnp.asarray(cl_max),
-            "clu_subtree": jnp.asarray(subtree),
-            "clu_leaf_start": jnp.asarray(start),
-            "clu_leaf_count": jnp.asarray(count),
-            "clu_geo": jnp.asarray(geo),
+            "wide_rows": jnp.asarray(rows),
+            "clu_geo": jnp.asarray(packed_geo),
         },
     )
 
@@ -262,4 +264,20 @@ def test_python_clustered_build_matches_brute_force():
     hit_rays = np.isfinite(best_t)
     np.testing.assert_array_equal(
         np.asarray(out["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
+    )
+
+    # exercise the ray-compaction path too (default threshold needs >= 4096
+    # lanes; force it down so the 64-ray batch takes the compacted sweeps)
+    old_min = tracer.COMPACT_MIN
+    tracer.COMPACT_MIN = 16
+    try:
+        out_c = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs), init,
+            tracer._cluster_leaf_closest(scene),
+        )
+    finally:
+        tracer.COMPACT_MIN = old_min
+    np.testing.assert_allclose(np.asarray(out_c["t"]), best_t, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out_c["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
     )

@@ -152,3 +152,34 @@ def test_point_light_nee_matches_closed_form(tmp_path):
     center = bins[bins.shape[0] // 2, bins.shape[1] // 2]
     mean = center[center > 0].mean()
     assert mean == pytest.approx(4.0 / 16.0, rel=0.05)
+
+
+def test_cluster_threshold_boundary(tmp_path):
+    """Scenes just above CLUSTER_THRESHOLD must take the clustered path
+    (the dense path's [lanes, prims, 3] intermediates are only HBM-safe
+    below the threshold — round-1 OOM regression), and still render."""
+    from pyrite_tpu.scene import CLUSTER_THRESHOLD
+    from tools.synthetic import terrain_scene
+
+    # cells chosen so 2*cells^2 straddles the threshold
+    above_cells = int(np.ceil(np.sqrt((CLUSTER_THRESHOLD + 2) / 2)))
+    lua, tris = terrain_scene(
+        str(tmp_path), cells=above_cells, width=16, height=8, spp=2, bounces=2
+    )
+    assert tris > CLUSTER_THRESHOLD
+    pd = load_project(lua)
+    scene = build_scene(pd)
+    assert scene.use_clusters
+    film, acc, wt = simple.render(pd, scene, seed=0, max_samples=2)
+    assert np.asarray(wt).sum() > 0
+
+    below_cells = int(np.floor(np.sqrt((CLUSTER_THRESHOLD - 2) / 2)))
+    lua2, tris2 = terrain_scene(
+        str(tmp_path), cells=below_cells, width=16, height=8, spp=2, bounces=2
+    )
+    assert tris2 <= CLUSTER_THRESHOLD
+    pd2 = load_project(lua2)
+    scene2 = build_scene(pd2)
+    assert not scene2.use_clusters
+    film2, acc2, wt2 = simple.render(pd2, scene2, seed=0, max_samples=2)
+    assert np.asarray(wt2).sum() > 0

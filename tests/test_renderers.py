@@ -111,3 +111,77 @@ def test_cluster_path_matches_dense_without_native(tmp_path, monkeypatch):
     close = np.isclose(cluster_img, dense_img, rtol=1e-4, atol=1e-6)
     assert close.mean() > 0.99, f"{(~close).sum()} of {close.size} pixels diverge"
     np.testing.assert_allclose(cluster_img.mean(), dense_img.mean(), rtol=1e-3)
+
+
+def test_hash_grid_gather_matches_brute_force():
+    """The sorted hash-grid 27-cell scan must enumerate exactly the photons
+    within the gather radius (vs an O(N*P) brute-force query), as long as no
+    cell exceeds the per-cell cap. Replaces the reference kd-tree radius
+    query (spatial/kd_tree.rs:47-106; used at photon_mapping.rs:349)."""
+    import jax
+    import jax.numpy as jnp
+    from pyrite_tpu.renderers import photon as ph
+
+    rng = np.random.default_rng(17)
+    P, N, radius = 500, 128, 0.35
+    p_pos = jnp.asarray(rng.uniform(-3, 3, (P, 3)), jnp.float32)
+    p_valid = jnp.asarray(rng.random(P) > 0.2)
+    q_pos = jnp.asarray(rng.uniform(-3, 3, (N, 3)), jnp.float32)
+    values = jnp.asarray(rng.random(P), jnp.float32)
+
+    order, sorted_keys, starts, ckeys = ph.grid_prepare(p_pos, p_valid, q_pos, radius)
+
+    def body(k, carry):
+        total, count = carry
+        pj, match = ph.grid_scan_slot(
+            k, order, sorted_keys, starts, ckeys, p_valid, p_pos, q_pos, radius
+        )
+        total = total + jnp.where(match, values[pj], 0.0)
+        count = count + match.astype(jnp.int32)
+        return total, count
+
+    total, count = jax.lax.fori_loop(
+        0, 27 * ph._CELL_CAP, body, (jnp.zeros(N), jnp.zeros(N, jnp.int32))
+    )
+
+    d2 = ((np.asarray(p_pos)[None] - np.asarray(q_pos)[:, None]) ** 2).sum(-1)
+    in_r = (d2 <= radius * radius) & np.asarray(p_valid)[None]
+    # precondition for exactness: no cell over the scan cap
+    cells = np.floor(np.asarray(p_pos)[np.asarray(p_valid)] / radius).astype(int)
+    _, cell_counts = np.unique(cells, axis=0, return_counts=True)
+    assert cell_counts.max() <= ph._CELL_CAP
+
+    np.testing.assert_array_equal(np.asarray(count), in_r.sum(1))
+    expect = (np.asarray(values)[None] * in_r).sum(1)
+    np.testing.assert_allclose(np.asarray(total), expect, rtol=1e-5)
+
+
+def test_photon_mapping_tracks_simple_radiance(tmp_path):
+    """On the diffuse-only scene, the photon mapper must reproduce the
+    simple renderer's radiance DISTRIBUTION (estimator weights
+    photon_mapping.rs:47-48,369).
+
+    Note the deliberate tolerance structure: the reference's gather is a
+    neighbor-AVERAGING estimator — the photon-density area normalization is
+    commented out at photon_mapping.rs:399 (`// (PI * radius * radius)`) and
+    each gather divides by num_neighbors — so it does NOT converge to the
+    path-traced radiance; it carries a scene-dependent systematic brightness
+    factor (~0.5 here, stable across photon counts / passes / radii —
+    PARITY.md "Photon-map estimator"). We reproduce the reference estimator,
+    so the test pins (a) per-pixel shape agreement after removing that
+    global factor and (b) the factor staying inside a stable band."""
+    simple_img = render(tmp_path, "simple", 200)
+    photon_img = render(
+        tmp_path,
+        "photon_mapping",
+        10,
+        extra=", photons = 4000, photon_bounces = 5, photon_passes = 2, radius = 0.25",
+    )
+    lit = simple_img > 0.05
+    assert lit.sum() > 40
+    # most pixels agree outright; the estimator's deficit concentrates in
+    # the brightest (gather-dominated) regions, dragging the mean ratio down
+    rel = np.abs(simple_img - photon_img)[lit] / simple_img[lit]
+    assert np.median(rel) < 0.3, f"median rel err {np.median(rel):.3f}"
+    ratio = photon_img[lit].mean() / simple_img[lit].mean()
+    assert 0.35 < ratio < 0.80, f"brightness ratio {ratio:.3f}"
