@@ -104,9 +104,13 @@ def _live_rays_per_step(scene, film, camera, cfg, key, rows):
 
 
 def bench_simple(scene_path, steps=10):
-    """Steady-state live-lane Mrays/s on a simple-renderer scene."""
+    """Steady-state Mrays/s on a simple-renderer scene.
+
+    Returns (live_mrays, executed_mrays): live counts only path rays whose
+    `alive` mask is set entering each bounce (plus their shadow rays);
+    executed counts every lane-bounce the wavefront runs (masked work
+    included — the round-1 accounting, kept for continuity)."""
     import jax
-    import numpy as np
 
     from pyrite_tpu.renderers.simple import make_render_step, pick_rows
 
@@ -122,18 +126,27 @@ def bench_simple(scene_path, steps=10):
     float(acc.sum())
 
     live_rays = _live_rays_per_step(scene, film, camera, cfg, key, rows)
+    executed_rays = (
+        film.width * film.height * cfg.bounces * (1 + cfg.light_samples)
+    )
 
-    def full_step(acc, wt, k, data):
+    # pre-split all step keys on the host: a fold_in inside the timed loop
+    # would add one dispatched op per step through the device tunnel
+    import numpy as np
+
+    all_keys = np.asarray(jax.random.split(key, (steps + 1) * chunks))
+
+    def full_step(acc, wt, ks, data):
         for c in range(chunks):
-            acc, wt = step(acc, wt, jax.random.fold_in(k, c), data, c * rows)
+            acc, wt = step(acc, wt, ks[c], data, c * rows)
         return acc, wt
 
     # warm every chunk shape, then time
-    acc, wt = full_step(acc, wt, key, data)
+    acc, wt = full_step(acc, wt, all_keys[:chunks], data)
     float(acc.sum())
-    keys = [jax.random.fold_in(key, 1000 + i) for i in range(steps)]
+    keys = [all_keys[(i + 1) * chunks : (i + 2) * chunks] for i in range(steps)]
     per_step, acc, wt = _steady_time(full_step, acc, wt, keys, data)
-    return live_rays / per_step / 1e6
+    return live_rays / per_step / 1e6, executed_rays / per_step / 1e6
 
 
 def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_every=4):
@@ -177,6 +190,8 @@ def bench_bdpt_spp(scene_path, samples=4):
     times = []
 
     def on_progress(progress):
+        # dispatch is async on TPU: force completion before timestamping
+        float(progress.acc.sum())
         times.append(time.time())
 
     mod.render(
@@ -200,7 +215,7 @@ def bench_terrain(steps=3):
     lua, tris = terrain_scene(
         tempfile.mkdtemp(), cells=405, width=256, height=128, spp=8, bounces=4
     )
-    return bench_simple(lua, steps=steps), tris
+    return bench_simple(lua, steps=steps)[0], tris
 
 
 def main():
@@ -209,7 +224,15 @@ def main():
     spheres = "/root/reference/pyrite/test/spheres/spheres.lua"
     cornell = "/root/reference/pyrite/test/cornell/cornell.lua"
 
-    mrays = bench_simple(spheres)
+    mrays, executed_mrays = bench_simple(spheres)
+    extras.append(
+        {
+            "metric": "trace throughput, spheres, executed lane-bounces "
+            "(round-1 accounting: masked work included)",
+            "value": round(executed_mrays, 3),
+            "unit": "Mrays/sec/chip",
+        }
+    )
 
     try:
         spp_rate = bench_bdpt_spp(cornell)

@@ -1408,7 +1408,7 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # iteration). Tuned on TPU v5e (327k-tri terrain).
 CLUSTER_WALK_STEPS = 2
 SWEEP_LEAVES = 2
-COMPACT_DIV = 6
+COMPACT_DIV = 8
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 
 
@@ -1563,7 +1563,10 @@ def _cluster_traverse(
             swept = at_leaf
         else:
             # ray compaction: scatter the first `width` parked lane ids into
-            # a dense prefix, sweep only those, scatter results back
+            # a dense prefix, sweep only those, scatter results back.
+            # (A hashed slot-claim variant without the cumsum was measured
+            # 60% SLOWER: fixed lane->slot residues serialize persistently
+            # colliding lanes — see CLAUDE.md.)
             pos = jnp.cumsum(at_leaf) - 1
             swept = at_leaf & (pos < width)
             sel = (
@@ -1579,7 +1582,7 @@ def _cluster_traverse(
                 leaf_ids[sel], origin[sel], direction[sel], sub_state,
                 leaf_act[sel] & valid[:, None],
             )
-            # unfilled prefix slots alias lane 0: drop them on the way back
+            # unselected slots alias a real lane: drop them on the way back
             back = jnp.where(valid, sel, n)
             state = jax.tree_util.tree_map(
                 lambda old, new: old.at[back].set(new, mode="drop"),

@@ -269,15 +269,15 @@ def test_python_clustered_build_matches_brute_force():
     # exercise the ray-compaction path too (default threshold needs >= 4096
     # lanes; force it down so the 64-ray batch takes the compacted sweeps)
     old_min = tracer.COMPACT_MIN
-    tracer.COMPACT_MIN = 16
     try:
+        tracer.COMPACT_MIN = 16
         out_c = tracer._cluster_traverse(
             scene, jnp.asarray(origins), jnp.asarray(dirs), init,
             tracer._cluster_leaf_closest(scene),
         )
+        np.testing.assert_allclose(np.asarray(out_c["t"]), best_t, rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(out_c["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
+        )
     finally:
         tracer.COMPACT_MIN = old_min
-    np.testing.assert_allclose(np.asarray(out_c["t"]), best_t, rtol=1e-5)
-    np.testing.assert_array_equal(
-        np.asarray(out_c["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
-    )

@@ -116,3 +116,37 @@ def test_curve_spectrum_fast_path_matches_interp_path():
     np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
     # strictly-outside rule: 0 AT the endpoints too
     assert fast[0] == 0.0 and fast[1] == 0.0
+
+
+def test_burns_round_trip_under_d65():
+    """Closed-form Burns round trip (program/instruction.rs RgbSpectrumValue
+    + data/srgb_cie1931.csv): reflectance = basis @ rgb, lit by D65 and
+    integrated against the CIE observer, must develop back to ~rgb in linear
+    sRGB (white-normalized). The baked basis + 2-degree observer carry an
+    inherent ~0.15 leakage on pure primaries (e.g. green develops with
+    r~0.15) — the reference shares these exact tables, so the tolerance
+    documents the basis, not an implementation error."""
+    import jax.numpy as jnp
+
+    from pyrite_tpu import spectra as sp
+
+    wl = jnp.arange(380.0, 781.0, 2.0)
+    basis = sp.rgb_basis().sample(wl)  # [T, 3]
+    d65 = sp.d65().sample(wl)
+    resp = sp.xyz_response().sample(wl)
+    trap = np.full(len(wl), 1.0, np.float32)
+    trap[0] = 0.5
+    trap[-1] = 0.5
+    w = jnp.asarray(trap * 2.0)
+
+    def to_linear(vals):
+        xyz = jnp.einsum("t,tc,t->c", vals, resp, w)
+        return np.asarray(sp.XYZ_TO_LINEAR_SRGB @ np.asarray(xyz))
+
+    white_y = to_linear(d65)[1]
+    for rgb in [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (0.3, 0.6, 0.2)]:
+        refl = basis @ jnp.asarray(rgb, jnp.float32)
+        # reflectance stays physical
+        assert float(refl.min()) >= -1e-4 and float(refl.max()) <= 1.01
+        lin = to_linear(refl * d65) / white_y
+        assert np.abs(lin - np.asarray(rgb)).max() < 0.16, (rgb, lin)
