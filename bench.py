@@ -57,9 +57,12 @@ def _build(scene_path):
     return project_data, scene, film, camera, cfg
 
 
-def _live_rays_per_step(scene, film, camera, cfg, key, rows):
-    """Instrumented (un-timed) pass: live path rays summed over bounces for
-    one render step, each counting 1 extension + light_samples shadow rays."""
+def _rays_per_step(scene, film, camera, cfg, key, rows):
+    """Instrumented (un-timed) pass over one render step. Returns
+    (live, executed): live sums path rays whose `alive` mask is set entering
+    each bounce; executed sums whole-wavefront lane-bounces actually run
+    (the bounce loop exits once every lane is dead — tracer.trace_paths).
+    Both count 1 extension + light_samples shadow rays per lane-bounce."""
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +71,8 @@ def _live_rays_per_step(scene, film, camera, cfg, key, rows):
 
     def stats(key, data):
         with scene.bind(data):
-            total = jnp.zeros((), jnp.float32)
+            live_total = jnp.zeros((), jnp.float32)
+            exec_total = jnp.zeros((), jnp.float32)
             chunks = film.height // rows
             for c in range(chunks):
                 k_c = jax.random.fold_in(key, c)
@@ -86,21 +90,32 @@ def _live_rays_per_step(scene, film, camera, cfg, key, rows):
                     "sample_light": jnp.ones(n, bool),
                     "light_events": jnp.zeros(n, jnp.int32),
                 }
+                k_t = jax.random.fold_in(k_c, 7)
 
-                def body(state, bounce_key):
-                    live = jnp.sum(state["alive"].astype(jnp.float32))
+                def cond(carry):
+                    i, state, live, executed = carry
+                    return (i < cfg.bounces) & jnp.any(state["alive"])
+
+                def body(carry):
+                    i, state, live, executed = carry
+                    live = live + jnp.sum(state["alive"].astype(jnp.float32))
+                    executed = executed + n
                     new_state, _ = tracer.bounce_core(
-                        scene, cfg, wavelengths, state, bounce_key
+                        scene, cfg, wavelengths, state, jax.random.fold_in(k_t, i)
                     )
-                    return new_state, live
+                    return i + 1, new_state, live, executed
 
-                keys = jax.random.split(jax.random.fold_in(k_c, 7), cfg.bounces)
-                _, live = jax.lax.scan(body, state, keys)
-                total = total + jnp.sum(live)
-            return total
+                _, _, live, executed = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), state, jnp.float32(0), jnp.float32(0)),
+                )
+                live_total = live_total + live
+                exec_total = exec_total + executed
+            return live_total, exec_total
 
-    live = float(jax.jit(stats)(key, scene.device_data()))
-    return live * (1 + cfg.light_samples)
+    live, executed = jax.jit(stats)(key, scene.device_data())
+    scale = 1 + cfg.light_samples
+    return float(live) * scale, float(executed) * scale
 
 
 def bench_simple(scene_path, steps=10):
@@ -108,8 +123,8 @@ def bench_simple(scene_path, steps=10):
 
     Returns (live_mrays, executed_mrays): live counts only path rays whose
     `alive` mask is set entering each bounce (plus their shadow rays);
-    executed counts every lane-bounce the wavefront runs (masked work
-    included — the round-1 accounting, kept for continuity)."""
+    executed counts every lane-bounce the wavefront actually runs (masked
+    work included; whole-wavefront early exit excluded)."""
     import jax
 
     from pyrite_tpu.renderers.simple import make_render_step, pick_rows
@@ -125,10 +140,7 @@ def bench_simple(scene_path, steps=10):
     acc, wt = step(acc, wt, key, data)  # warmup / compile
     float(acc.sum())
 
-    live_rays = _live_rays_per_step(scene, film, camera, cfg, key, rows)
-    executed_rays = (
-        film.width * film.height * cfg.bounces * (1 + cfg.light_samples)
-    )
+    live_rays, executed_rays = _rays_per_step(scene, film, camera, cfg, key, rows)
 
     # pre-split all step keys on the host: a fold_in inside the timed loop
     # would add one dispatched op per step through the device tunnel
@@ -228,7 +240,7 @@ def main():
     extras.append(
         {
             "metric": "trace throughput, spheres, executed lane-bounces "
-            "(round-1 accounting: masked work included)",
+            "(masked work included — the round-1 accounting)",
             "value": round(executed_mrays, 3),
             "unit": "Mrays/sec/chip",
         }

@@ -945,18 +945,23 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
         "light_events": jnp.zeros(n, jnp.int32),
     }
 
-    a = scene.arrays
+    # Bounce loop with whole-wavefront early exit: once every lane is dead
+    # the remaining bounces (up to 256 in the diamonds scene) are skipped
+    # entirely instead of executing masked no-op work. The reference's
+    # per-thread loop gets this for free (tracer.rs:208); a fixed lax.scan
+    # would not.
+    def cond(carry):
+        i, state = carry
+        return (i < cfg.bounces) & jnp.any(state["alive"])
 
-    def bounce_step(state, bounce_key):
-        return bounce_core(scene, cfg, wavelengths, state, bounce_key)
+    def body(carry):
+        i, state = carry
+        new_state, _ = bounce_core(
+            scene, cfg, wavelengths, state, jax.random.fold_in(key, i)
+        )
+        return i + 1, new_state
 
-    keys = jax.random.split(key, cfg.bounces)
-
-    def scan_body(state, bounce_key):
-        new_state, _ = bounce_step(state, bounce_key)
-        return new_state, None
-
-    state, _ = jax.lax.scan(scan_body, state, keys)
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return state["brightness"], state["aux_alive"]
 
 

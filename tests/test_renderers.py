@@ -185,3 +185,43 @@ def test_photon_mapping_tracks_simple_radiance(tmp_path):
     assert np.median(rel) < 0.3, f"median rel err {np.median(rel):.3f}"
     ratio = photon_img[lit].mean() / simple_img[lit].mean()
     assert 0.35 < ratio < 0.80, f"brightness ratio {ratio:.3f}"
+
+
+def test_pooled_scheduler_matches_one_shot(tmp_path, monkeypatch):
+    """Deep-bounce scenes use the survivor-pool scheduler (simple.py): dead
+    lanes expose at stage end, survivors are stream-compacted into a pool
+    that continues across chunks/samples. Every lane must be exposed exactly
+    once — total film weight is conserved exactly — and the radiance must
+    statistically match the one-shot wavefront."""
+    from pyrite_tpu.renderers import simple as simple_mod
+    from pyrite_tpu.film import Film
+    from pyrite_tpu.project import load_project
+    from pyrite_tpu.scene import build_scene
+
+    src = SCENE % {"algo": "simple", "spp": 48, "extra": ""}
+    src = src.replace("bounces = 4", "bounces = 20")
+    path = tmp_path / "pooled.lua"
+    path.write_text(src)
+
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert pd.project.renderer.bounces >= simple_mod.POOL_MIN_BOUNCES
+
+    film, acc_p, wt_p = simple_mod.render(pd, scene, seed=3, max_samples=48)
+
+    monkeypatch.setattr(simple_mod, "POOL_MIN_BOUNCES", 10_000)
+    film, acc_o, wt_o = simple_mod.render(pd, scene, seed=3, max_samples=48)
+
+    # exact invariant: every lane-sample exposed exactly once in both paths
+    # (no dispersive materials here, so every wavelength column has weight)
+    s = pd.project.renderer.spectrum_samples
+    expect_wt = 48 * film.width * film.height * s
+    np.testing.assert_allclose(float(np.asarray(wt_p).sum()), expect_wt, rtol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(wt_o).sum()), expect_wt, rtol=1e-6)
+
+    img_p = np.asarray(film.develop(acc_p, wt_p)).mean(axis=2)
+    img_o = np.asarray(film.develop(acc_o, wt_o)).mean(axis=2)
+    lit = img_o > 0.02
+    rel = np.abs(img_p - img_o)[lit] / img_o[lit]
+    assert np.median(rel) < 0.15, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_p[lit].mean(), img_o[lit].mean(), rtol=0.05)
