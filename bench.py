@@ -191,12 +191,15 @@ def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_eve
     return state["answer"] if state["answer"] is not None else float("nan")
 
 
-def bench_bdpt_spp(scene_path, samples=4):
-    """Steady-state spp/s of the bidirectional renderer (cornell 512x512)."""
+def bench_render_spp(scene_path, algorithm="bidirectional", samples=4, warm=1):
+    """Steady-state spp/s of a full renderer on a reference scene; the first
+    ``warm`` samples (jit compiles) are excluded from the rate."""
+    import importlib
+
     from pyrite_tpu.project import load_project
     from pyrite_tpu.scene import build_scene
-    from pyrite_tpu.renderers import bidirectional as mod
 
+    mod = importlib.import_module(f"pyrite_tpu.renderers.{algorithm}")
     project_data = load_project(scene_path)
     scene = build_scene(project_data)
     times = []
@@ -209,10 +212,9 @@ def bench_bdpt_spp(scene_path, samples=4):
     mod.render(
         project_data, scene, seed=0, on_progress=on_progress, max_samples=samples
     )
-    # first sample includes the jit compile; rate from the rest
-    if len(times) < 2:
+    if len(times) < warm + 2:
         return float("nan")
-    return (len(times) - 1) / (times[-1] - times[0])
+    return (len(times) - 1 - warm) / (times[-1] - times[warm])
 
 
 def bench_terrain(steps=3):
@@ -247,7 +249,7 @@ def main():
     )
 
     try:
-        spp_rate = bench_bdpt_spp(cornell)
+        spp_rate = bench_render_spp(cornell)
         extras.append(
             {
                 "metric": "sampling rate, cornell 512x512 bidirectional",
@@ -257,6 +259,23 @@ def main():
         )
     except Exception as error:  # never lose the primary line
         extras.append({"metric": "cornell bdpt spp/sec", "error": repr(error)})
+
+    try:
+        # 256-bounce dispersion scene: exercises the survivor-pool scheduler.
+        # The warm window must reach past the FIRST pool flush (~sample 10),
+        # which one-time-compiles the flush-ladder jits at every pool width.
+        diamonds = "/root/reference/pyrite/test/diamonds/diamonds.lua"
+        spp_rate = bench_render_spp(diamonds, "simple", samples=32, warm=14)
+        extras.append(
+            {
+                "metric": "sampling rate, diamonds 512x300 simple "
+                "(256 bounces, survivor-pool scheduler)",
+                "value": round(spp_rate, 4),
+                "unit": "spp/sec",
+            }
+        )
+    except Exception as error:
+        extras.append({"metric": "diamonds spp/sec", "error": repr(error)})
 
     try:
         terrain_mrays, tris = bench_terrain()

@@ -163,11 +163,11 @@ def _run_bounces(scene, cfg, wavelengths, state, key, max_steps):
 
 
 def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows):
-    """The three jitted pieces of the survivor-pool scheduler:
-    stage / insert / flush-step / expose-pool (plus the empty pool)."""
+    """The jitted pieces of the survivor-pool scheduler: stage (trace +
+    expose dead + pool survivors), flush-step and shrink factories (the
+    width ladder), expose-pool, plus the empty pool constructor."""
     n = rows * film.width
     s = cfg.spectrum_samples
-    stage_cfg = cfg
 
     def full_mask(state):
         return jnp.concatenate(
@@ -188,11 +188,11 @@ def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceC
         dispatch cost on this backend)."""
         with scene.bind(data):
             positions, origin, direction, wavelengths = chunk_rays(
-                film, camera, stage_cfg, key, row0=row0, rows=rows
+                film, camera, cfg, key, row0=row0, rows=rows
             )
             state = _trace_state(origin, direction, s)
             state = _run_bounces(
-                scene, stage_cfg, wavelengths, state,
+                scene, cfg, wavelengths, state,
                 jax.random.fold_in(key, 7), STAGE_BOUNCES,
             )
             mask = full_mask(state) & ~state["alive"][:, None]
