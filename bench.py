@@ -57,12 +57,15 @@ def _build(scene_path):
     return project_data, scene, film, camera, cfg
 
 
-def _rays_per_step(scene, film, camera, cfg, key, rows):
+def _rays_per_step(scene, film, camera, cfg, key, rows, batch=1):
     """Instrumented (un-timed) pass over one render step. Returns
     (live, executed): live sums path rays whose `alive` mask is set entering
     each bounce; executed sums whole-wavefront lane-bounces actually run
     (the bounce loop exits once every lane is dead — tracer.trace_paths).
-    Both count 1 extension + light_samples shadow rays per lane-bounce."""
+    Both count 1 extension + light_samples shadow rays per lane-bounce.
+    ``batch``: stratified samples traced per launch (the megabatched step) —
+    the instrumented wavefront concatenates that many sample chunks, just
+    like simple.make_render_step."""
     import jax
     import jax.numpy as jnp
 
@@ -76,9 +79,16 @@ def _rays_per_step(scene, film, camera, cfg, key, rows):
             chunks = film.height // rows
             for c in range(chunks):
                 k_c = jax.random.fold_in(key, c)
-                _, origin, direction, wavelengths = chunk_rays(
-                    film, camera, cfg, k_c, row0=c * rows, rows=rows
-                )
+                parts = [
+                    chunk_rays(
+                        film, camera, cfg, jax.random.fold_in(k_c, s),
+                        row0=c * rows, rows=rows,
+                    )
+                    for s in range(batch)
+                ]
+                origin = jnp.concatenate([p[1] for p in parts], axis=0)
+                direction = jnp.concatenate([p[2] for p in parts], axis=0)
+                wavelengths = jnp.concatenate([p[3] for p in parts], axis=0)
                 n, s = wavelengths.shape
                 state = {
                     "origin": origin,
@@ -126,27 +136,36 @@ def bench_simple(scene_path, steps=10):
     executed counts every lane-bounce the wavefront actually runs (masked
     work included; whole-wavefront early exit excluded)."""
     import jax
+    import jax.numpy as jnp
 
-    from pyrite_tpu.renderers.simple import make_render_step, pick_rows
+    from pyrite_tpu.renderers.simple import (
+        make_render_step, pick_rows, pick_sample_batch,
+    )
 
     _, scene, film, camera, cfg = _build(scene_path)
     rows = pick_rows(film, scene, cfg)
-    step = make_render_step(scene, film, camera, cfg, rows=rows)
+    batch = pick_sample_batch(film, scene, cfg, rows)
+    step = make_render_step(scene, film, camera, cfg, rows=rows, samples=batch)
     chunks = film.height // rows
 
     acc, wt = film.new_buffers()
     data = scene.device_data()
     key = jax.random.PRNGKey(0)
-    acc, wt = step(acc, wt, key, data)  # warmup / compile
-    float(acc.sum())
 
-    live_rays, executed_rays = _rays_per_step(scene, film, camera, cfg, key, rows)
+    live_rays, executed_rays = _rays_per_step(
+        scene, film, camera, cfg, key, rows, batch=batch
+    )
 
     # pre-split all step keys on the host: a fold_in inside the timed loop
     # would add one dispatched op per step through the device tunnel
     import numpy as np
 
-    all_keys = np.asarray(jax.random.split(key, (steps + 1) * chunks))
+    all_keys = np.asarray(jax.random.split(key, (steps + 1) * chunks * batch))
+
+    def group(i, c):
+        base = (i * chunks + c) * batch
+        ks = all_keys[base : base + batch]
+        return jnp.asarray(ks) if batch > 1 else ks[0]
 
     def full_step(acc, wt, ks, data):
         for c in range(chunks):
@@ -154,9 +173,9 @@ def bench_simple(scene_path, steps=10):
         return acc, wt
 
     # warm every chunk shape, then time
-    acc, wt = full_step(acc, wt, all_keys[:chunks], data)
+    acc, wt = full_step(acc, wt, [group(0, c) for c in range(chunks)], data)
     float(acc.sum())
-    keys = [all_keys[(i + 1) * chunks : (i + 2) * chunks] for i in range(steps)]
+    keys = [[group(i + 1, c) for c in range(chunks)] for i in range(steps)]
     per_step, acc, wt = _steady_time(full_step, acc, wt, keys, data)
     return live_rays / per_step / 1e6, executed_rays / per_step / 1e6
 

@@ -1,0 +1,550 @@
+"""Pallas TPU kernels for the traversal hot loop.
+
+The wide-BVH walk (tracer._cluster_traverse) is per-op-overhead bound in
+XLA on this backend: one pop iteration (row gather + slab test) costs
+~0.37 ms at 32k lanes — ~20 ops x ~15 us fixed per-op cost — and a bounce
+pays ~33 outer iterations of it. This module fuses the whole
+walk-until-parked loop into ONE kernel launch: the node-row table lives in
+VMEM, per-lane row fetches become one-hot matmuls on the MXU (a [B, 384] x
+[384, 128] dot — a gather the MXU executes in microseconds), and the pop
+loop runs entirely on-chip, so its iterations cost machine instructions
+instead of dispatched XLA ops.
+
+Reference semantics being accelerated: the streaming BVH traversal of
+spatial/bvh.rs:201-230 (skip subtrees on AABB miss or entry beyond the
+current best hit), reformulated as the bitmask-stack wide-tree walk of
+bvh.build_wide_bvh.
+
+The kernel only WALKS (node pops). Leaf sweeps — which need per-lane
+gathers from the large clu_geo table (HBM-resident; Mosaic has no efficient
+per-lane row gather) — stay in XLA, where gather is a native HLO. The
+traversal alternates: kernel walk until every lane holds pending leaves,
+XLA sweep, repeat; outer iterations collapse from ~33 node-pop rounds to
+the handful of leaf-sweep rounds the worst lane needs.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROWS_PAD = 384  # wide_rows (273) padded up for MXU-friendly one-hot dots
+# lanes per grid step; onehot scratch = BLOCK x 384 f32 (env-tunable for
+# on-device sweeps: per-grid-step fixed costs amortize over bigger blocks)
+WALK_BLOCK = int(os.environ.get("PYRITE_TPU_WALK_BLOCK", "1024"))  # 4096 OOMs VMEM (30M > 16M)
+# Leaf slots filled per kernel call: each call alternates walk-until-parked
+# and pop-leaf in-kernel until every lane holds up to this many pending leaf
+# ids (or is exhausted). The XLA side then runs ONE masked sweep over all Q
+# slots, so outer rounds ~ ceil(worst-lane leaf visits / Q). Larger Q also
+# over-pops: leaves popped in one call don't see the sweep hits of the
+# call's earlier leaves, so they miss pruning the old 2-pop loop applied.
+WALK_LEAVES = int(os.environ.get("PYRITE_TPU_WALK_LEAVES", "4"))
+
+
+# Empty child slots use +/-inf sentinels in wide_rows; the kernel fetches
+# rows via one-hot matmul, where 0 * inf = NaN would poison every gathered
+# row — so the kernel's copy clamps sentinels to large finite values. The
+# slab test still rejects the inverted boxes (tmin >> tmax) and the
+# validity bitmask (col 97) masks them regardless.
+_SENTINEL = 1e30
+
+
+def pad_rows(rows: np.ndarray) -> np.ndarray:
+    """Pad the [273, 128] wide-BVH row table to [ROWS_PAD, 128] (zero rows
+    have validity bitmask 0, so a stray pop of one yields no children) and
+    clamp inf sentinels to finite values (see _SENTINEL)."""
+    out = np.zeros((ROWS_PAD, rows.shape[1]), np.float32)
+    out[: rows.shape[0]] = np.clip(rows, -_SENTINEL, _SENTINEL)
+    return out
+
+
+def walk_enabled() -> bool:
+    """The fused walk runs on real TPUs (or everywhere in interpret mode via
+    PYRITE_TPU_PALLAS=interpret, used by tests); PYRITE_TPU_PALLAS=0
+    disables it."""
+    mode = os.environ.get("PYRITE_TPU_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return os.environ.get("PYRITE_TPU_PALLAS", "auto") == "interpret"
+
+
+def _walk_kernel(
+    rows_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    t_ref,
+    m0_ref, m1_ref, m2_ref, cur1_ref, cur2_ref, ph_ref,
+    o_m0_ref, o_m1_ref, o_m2_ref, o_cur1_ref, o_cur2_ref, o_ph_ref,
+    *leaf_refs,
+):
+    """One block's walk-and-collect: advance every lane until it has emitted
+    up to WALK_LEAVES pending leaf ids (-1 = empty slot) or exhausted its
+    masks. All per-lane state is 1D [B]; phases are packed into one int32
+    (bit0 = ph0, bit1 = ph1, bit2 = ph2)."""
+    rows = rows_ref[:]  # [ROWS_PAD, 128]
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    t = t_ref[:]
+
+    b = ox.shape[0]
+    col16 = jax.lax.broadcasted_iota(jnp.int32, (b, 16), 1)
+    shift16 = (1 << col16).astype(jnp.float32)  # exact: <= 2^15
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, ROWS_PAD), 1)
+
+    def fetch(row_idx):
+        """Per-lane node row via one-hot matmul: [B, ROWS_PAD] @ [ROWS_PAD,
+        128]. The one-hot has exactly one 1 per row, so the dot IS the
+        gather, exact in f32."""
+        onehot = (row_ids == row_idx[:, None]).astype(jnp.float32)
+        return jnp.dot(onehot, rows, preferred_element_type=jnp.float32)
+
+    def slab16(row):
+        """Hit bitmask of the row's 16 child AABBs (tracer._slab16)."""
+        lox, loy, loz = row[:, 0:16], row[:, 16:32], row[:, 32:48]
+        hix, hiy, hiz = row[:, 48:64], row[:, 64:80], row[:, 80:96]
+        t1x = (lox - ox[:, None]) * ix[:, None]
+        t2x = (hix - ox[:, None]) * ix[:, None]
+        t1y = (loy - oy[:, None]) * iy[:, None]
+        t2y = (hiy - oy[:, None]) * iy[:, None]
+        t1z = (loz - oz[:, None]) * iz[:, None]
+        t2z = (hiz - oz[:, None]) * iz[:, None]
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        hit = (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t[:, None])
+        bits = jnp.sum(jnp.where(hit, shift16, 0.0), axis=1).astype(jnp.int32)
+        return bits & row[:, 97].astype(jnp.int32)
+
+    def axis_sign(row):
+        """Front-to-back pop side as int32 0/1 (Mosaic cannot select i1
+        vectors in loop carries, so phases stay integer in-kernel)."""
+        axis = row[:, 96].astype(jnp.int32)
+        d = jnp.where(axis == 0, dx, jnp.where(axis == 1, dy, dz))
+        return (d < 0.0).astype(jnp.int32)
+
+    def lowbit_index(m):
+        lb = (m & -m).astype(jnp.float32)
+        return jnp.round(jnp.log2(jnp.maximum(lb, 1.0))).astype(jnp.int32)
+
+    def pop_bit(m, from_high):
+        kl = lowbit_index(m)
+        kh = jnp.floor(
+            jnp.log2(jnp.maximum(m, 1).astype(jnp.float32) + 0.5)
+        ).astype(jnp.int32)
+        k = jnp.where(from_high != 0, kh, kl)
+        return k, m & ~(1 << k)
+
+    m0, m1, m2 = m0_ref[:], m1_ref[:], m2_ref[:]
+    cur1, cur2 = cur1_ref[:], cur2_ref[:]
+    ph = ph_ref[:]
+    ph0 = ph & 1
+    ph1 = (ph >> 1) & 1
+    ph2 = (ph >> 2) & 1
+
+    # entry re-prune: the sweep between kernel calls improved t, so pending
+    # leaves beyond the new best are dropped (the old XLA loop re-pruned
+    # parked lanes every pop iteration; once per call is equivalent — t is
+    # fixed for the whole call)
+    parked0 = m2 != 0
+    reprune = slab16(fetch(17 + cur2))
+    m2 = jnp.where(parked0, m2 & reprune, m2)
+
+    def cond(carry):
+        m0, m1, m2, cur1, cur2, ph1, ph2 = carry
+        active = (m2 == 0) & ((m0 | m1) != 0)
+        return jnp.any(active)
+
+    def body(carry):
+        m0, m1, m2, cur1, cur2, ph1, ph2 = carry
+        act1 = (m2 == 0) & (m1 != 0)
+        act0 = (m2 == 0) & (m1 == 0) & (m0 != 0)
+        k1, m1_pop = pop_bit(m1, ph1)
+        k0, m0_pop = pop_bit(m0, ph0)
+        row_idx = jnp.where(
+            act1, 17 + cur1 * 16 + k1, jnp.where(act0, 1 + k0, 0)
+        )
+        row = fetch(row_idx)
+        bits = slab16(row)
+        sign = axis_sign(row)
+        m2 = jnp.where(act1, bits, m2)
+        ph2 = jnp.where(act1, sign, ph2)
+        cur2 = jnp.where(act1, cur1 * 16 + k1, cur2)
+        m1 = jnp.where(act1, m1_pop, jnp.where(act0, bits, m1))
+        ph1 = jnp.where(act0, sign, ph1)
+        cur1 = jnp.where(act0, k0, cur1)
+        m0 = jnp.where(act0, m0_pop, m0)
+        return m0, m1, m2, cur1, cur2, ph1, ph2
+
+    # collect up to WALK_LEAVES pending leaf ids per lane: alternate
+    # walk-until-parked and pop-one-leaf so a lane whose L2 node holds fewer
+    # leaves than slots keeps walking to the next node within the same call
+    carry = (m0, m1, m2, cur1, cur2, ph1, ph2)
+    for q in range(WALK_LEAVES):
+        carry = jax.lax.while_loop(cond, body, carry)
+        m0, m1, m2, cur1, cur2, ph1, ph2 = carry
+        has_leaf = m2 != 0
+        k2, m2_pop = pop_bit(m2, ph2)
+        leaf_refs[q][:] = jnp.where(has_leaf, cur2 * 16 + k2, -1)
+        m2 = jnp.where(has_leaf, m2_pop, m2)
+        carry = (m0, m1, m2, cur1, cur2, ph1, ph2)
+    m0, m1, m2, cur1, cur2, ph1, ph2 = carry
+
+    o_m0_ref[:] = m0
+    o_m1_ref[:] = m1
+    o_m2_ref[:] = m2
+    o_cur1_ref[:] = cur1
+    o_cur2_ref[:] = cur2
+    o_ph_ref[:] = ph0 | (ph1 << 1) | (ph2 << 2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _walk_call(rows_pad, origin, direction, t, m0, m1, m2, cur1, cur2, ph, *, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = origin.shape[0]
+    # block stays 1024-aligned even for narrow batches: XLA tiles 1D f32
+    # operands T(1024) and Mosaic rejects mismatched lane-block layouts
+    block = WALK_BLOCK
+    pad = (-n) % block
+    if pad:
+        padi = lambda x: jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+        padf = lambda x, v: jnp.concatenate([x, jnp.full(pad, v, x.dtype)])
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3))])
+        direction = jnp.concatenate([direction, jnp.ones((pad, 3))])
+        t = padf(t, jnp.inf)
+        m0, m1, m2 = padi(m0), padi(m1), padi(m2)
+        cur1, cur2, ph = padi(cur1), padi(cur2), padi(ph)
+    np_ = n + pad
+
+    lane = pl.BlockSpec((block,), lambda i: (i,))
+    grid = (np_ // block,)
+    n_out = 6 + WALK_LEAVES
+    out = pl.pallas_call(
+        _walk_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((ROWS_PAD, 128), lambda i: (0, 0))]
+        + [lane] * 13,
+        out_specs=[lane] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.int32) for _ in range(n_out)
+        ],
+        interpret=interpret,
+    )(
+        rows_pad,
+        origin[:, 0], origin[:, 1], origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        t,
+        m0, m1, m2, cur1, cur2, ph,
+    )
+    if pad:
+        out = [x[:n] for x in out]
+    return tuple(out)
+
+
+# --- leaf sweep kernel -------------------------------------------------------
+#
+# After the walk kernel parks every lane on up to WALK_LEAVES leaf clusters,
+# the XLA side gathers the clusters' geometry (clu_geo_cm[leaf_ids] — gather
+# is a native HLO there) into a channel-major sheet [N, Q*12*L], and this
+# kernel runs ALL the intersection math (Moller-Trumbore + sphere tests +
+# first-min winner selection, tracer._cluster_leaf_closest semantics) as ONE
+# op instead of ~20 dispatched XLA ops on [N, Q*L] intermediates.
+
+# lanes per grid step (1D f32 operands are XLA-tiled T(1024): smaller lane
+# blocks fail Mosaic layout verification). The grid's second dim walks the Q
+# leaf slots so only ONE leaf's sheet block (B x 12*L floats, 6.3 MB at
+# L=128) is VMEM-resident at a time; outputs are revisited across q as
+# running-best accumulators.
+SWEEP_BLOCK = 1024
+
+# primitive/hit codes (stable; mirrors scene.PRIM_* and tracer.KIND_* —
+# imported as literals to avoid a circular scene <-> kernels import)
+_PRIM_TRIANGLE = 0.0
+_PRIM_SPHERE = 1.0
+_KIND_TRIANGLE = 1
+_KIND_SPHERE = 2
+_DIST_EPSILON = 1e-4
+
+
+def pack_geo_channel_major(packed_geo: np.ndarray) -> np.ndarray:
+    """[slots, L, 12] prim-major clu_geo -> [12, slots, L] channel planes.
+    The sweep kernel takes each channel as its own input so Mosaic's
+    double-buffered blocks stay at B x L floats (one [B, 12L] sheet block
+    would double-buffer to ~13 MB and overflow scoped VMEM)."""
+    return np.ascontiguousarray(np.transpose(packed_geo, (2, 0, 1)))
+
+
+def _sweep_math(chan_refs, leaf, ox, oy, oz, dx, dy, dz, act):
+    """One sub-leaf tile's intersection tests (the tile is selected by the
+    grid's second dimension via the channel BlockSpecs). Returns
+    (t [B, SUB], is_tri, u, v, ref)."""
+    del leaf
+    sl = lambda c: chan_refs[c][:, :]
+    cx, cy, cz = sl(0), sl(1), sl(2)  # v0 (tris) / center (spheres)
+    e1x, e1y, e1z = sl(3), sl(4), sl(5)
+    e2x, e2y, e2z = sl(6), sl(7), sl(8)
+    radius = sl(9)
+    kind = sl(10)
+
+    oxc, oyc, ozc = ox[:, None], oy[:, None], oz[:, None]
+    dxc, dyc, dzc = dx[:, None], dy[:, None], dz[:, None]
+
+    # Moller-Trumbore (geometry.ray_triangle, shapes/mod.rs:75-119)
+    px = dyc * e2z - dzc * e2y
+    py = dzc * e2x - dxc * e2z
+    pz = dxc * e2y - dyc * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    tri_ok = jnp.abs(det) > _DIST_EPSILON
+    inv_det = 1.0 / jnp.where(tri_ok, det, 1.0)
+    tvx, tvy, tvz = oxc - cx, oyc - cy, ozc - cz
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    tri_ok &= (u >= 0.0) & (u <= 1.0)
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dxc * qx + dyc * qy + dzc * qz) * inv_det
+    tri_ok &= (v >= 0.0) & (u + v <= 1.0)
+    tri_t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    tri_ok &= tri_t > _DIST_EPSILON
+
+    # sphere (geometry.ray_sphere)
+    lx, ly, lz = cx - oxc, cy - oyc, cz - ozc
+    tca = lx * dxc + ly * dyc + lz * dzc
+    d2 = lx * lx + ly * ly + lz * lz - tca * tca
+    r2 = radius * radius
+    sph_ok = d2 <= r2
+    thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    t0 = tca - thc
+    t1 = tca + thc
+    sph_t = jnp.where(t0 > _DIST_EPSILON, t0, t1)
+    sph_ok &= sph_t > _DIST_EPSILON
+
+    is_tri = kind == _PRIM_TRIANGLE
+    # boolean algebra instead of jnp.where on bools: Mosaic cannot lower
+    # i1-vector selects ("unsupported target bitwidth for truncation")
+    ok = (is_tri & tri_ok) | (~is_tri & sph_ok & (kind == _PRIM_SPHERE))
+    ok &= act[:, None] != 0
+    t = jnp.where(ok, jnp.where(is_tri, tri_t, sph_t), jnp.inf)
+    return t, is_tri, u, v, sl(11)
+
+
+def _sub_leaf(leaf):
+    """Sub-leaf tile width: VMEM bounds both the double-buffered channel
+    blocks and the ~20 [B, SUB] kernel temporaries."""
+    return 64 if leaf % 64 == 0 else 32
+
+
+def _make_sweep_closest_kernel(leaf):
+    from jax.experimental import pallas as pl
+
+    sub = _sub_leaf(leaf)
+    tiles = leaf // sub
+
+    def kernel(
+        c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        act_ref, t_ref, kind_ref, idx_ref, u_ref, v_ref,
+        o_t, o_kind, o_idx, o_u, o_v,
+    ):
+        qq = pl.program_id(1)
+        q = qq // tiles
+
+        @pl.when(qq == 0)
+        def _():
+            o_t[:] = t_ref[:]
+            o_kind[:] = kind_ref[:]
+            o_idx[:] = idx_ref[:]
+            o_u[:] = u_ref[:]
+            o_v[:] = v_ref[:]
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = (act_ref[:] >> q) & 1
+        t, is_tri, u, v, ref = _sweep_math(
+            [c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11],
+            leaf, ox, oy, oz, dx, dy, dz, act,
+        )
+        b = ox.shape[0]
+        colio = jax.lax.broadcasted_iota(jnp.int32, (b, sub), 1)
+        tq = jnp.min(t, axis=1)
+        # first column achieving the min (tracer._cluster_leaf_closest's
+        # gather-free row-min selection; strict < on the merge keeps the
+        # earliest tile's winner on ties, matching first-column semantics)
+        sel = jnp.min(jnp.where(t == tq[:, None], colio, sub), axis=1)
+        pickc = colio == sel[:, None]
+        pick = lambda m: jnp.sum(jnp.where(pickc, m, 0.0), axis=1)
+        better = tq < o_t[:]
+        won_tri = pick(is_tri.astype(jnp.float32)) > 0.5
+        o_kind[:] = jnp.where(
+            better, jnp.where(won_tri, _KIND_TRIANGLE, _KIND_SPHERE), o_kind[:]
+        )
+        o_idx[:] = jnp.where(better, pick(ref).astype(jnp.int32), o_idx[:])
+        o_u[:] = jnp.where(better, pick(u), o_u[:])
+        o_v[:] = jnp.where(better, pick(v), o_v[:])
+        o_t[:] = jnp.where(better, tq, o_t[:])
+
+    return kernel
+
+
+def _make_sweep_shadow_kernel(leaf):
+    from jax.experimental import pallas as pl
+
+    sub = _sub_leaf(leaf)
+    tiles = leaf // sub
+
+    def kernel(
+        c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        act_ref, t_ref, o_t,
+    ):
+        qq = pl.program_id(1)
+        q = qq // tiles
+
+        @pl.when(qq == 0)
+        def _():
+            o_t[:] = t_ref[:]
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = (act_ref[:] >> q) & 1
+        t, _, _, _, _ = _sweep_math(
+            [c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11],
+            leaf, ox, oy, oz, dx, dy, dz, act,
+        )
+        o_t[:] = jnp.minimum(o_t[:], jnp.min(t, axis=1))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_slots", "leaf", "shadow", "interpret")
+)
+def _sweep_call(chans, origin, direction, act, state_vals, *, q_slots, leaf, shadow, interpret=False):
+    from jax.experimental import pallas as pl
+
+    n = origin.shape[0]
+    block = SWEEP_BLOCK  # 1024-aligned always (see _walk_call)
+    pad = (-n) % block
+    if pad:
+        chans = [
+            jnp.concatenate([c, jnp.zeros((pad, c.shape[1]), c.dtype)])
+            for c in chans
+        ]
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3))])
+        direction = jnp.concatenate([direction, jnp.ones((pad, 3))])
+        act = jnp.concatenate([act, jnp.zeros(pad, act.dtype)])
+        state_vals = [
+            jnp.concatenate(
+                [x, jnp.full(pad, jnp.inf if x.dtype == jnp.float32 else 0, x.dtype)]
+            )
+            for x in state_vals
+        ]
+    np_ = n + pad
+
+    # grid: (lane blocks, sub-leaf tiles); the tile dim is innermost so each
+    # lane block's output stays resident while its Q*tiles channel blocks
+    # (12 x [B, SUB] floats) stream through VMEM
+    sub = _sub_leaf(leaf)
+    lane = pl.BlockSpec((block,), lambda i, q: (i,))
+    chan_spec = pl.BlockSpec((block, sub), lambda i, q: (i, q))
+    n_out = 1 if shadow else 5
+    kernel = (
+        _make_sweep_shadow_kernel(leaf)
+        if shadow
+        else _make_sweep_closest_kernel(leaf)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // block, q_slots * (leaf // sub)),
+        in_specs=[chan_spec] * 12 + [lane] * (7 + len(state_vals)),
+        out_specs=[lane] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), x.dtype) for x in state_vals
+        ],
+        interpret=interpret,
+    )(
+        *chans,
+        origin[:, 0], origin[:, 1], origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        act,
+        *state_vals,
+    )
+    if pad:
+        out = [x[:n] for x in out]
+    return tuple(out)
+
+
+def _gather_channels(scene_arrays, leaf_ids):
+    """Per-channel geometry planes for the collected leaves: 12 arrays
+    [N, Q*L] (XLA native gathers from the [12, slots, L] channel store)."""
+    geo = scene_arrays["clu_geo_ch"]  # [12, slots, L]
+    n, q_slots = leaf_ids.shape
+    leaf = geo.shape[2]
+    return [geo[c][leaf_ids].reshape(n, q_slots * leaf) for c in range(12)]
+
+
+def _act_bits(leaf_act):
+    q_slots = leaf_act.shape[1]
+    return jnp.sum(
+        leaf_act.astype(jnp.int32) << jnp.arange(q_slots, dtype=jnp.int32)[None, :],
+        axis=1,
+    )
+
+
+def sweep_closest(scene_arrays, cluster_leaf, leaf_ids, leaf_act, origin, direction, state):
+    """Fused closest-hit sweep of the collected leaves. ``leaf_ids``
+    [N, Q] (clamped), ``leaf_act`` [N, Q] bool."""
+    chans = _gather_channels(scene_arrays, leaf_ids)
+    t, kind, idx, u, v = _sweep_call(
+        chans, origin, direction, _act_bits(leaf_act),
+        [state["t"], state["kind"], state["idx"], state["u"], state["v"]],
+        q_slots=leaf_ids.shape[1], leaf=cluster_leaf, shadow=False,
+        interpret=_interpret(),
+    )
+    return {"t": t, "kind": kind, "idx": idx, "u": u, "v": v}
+
+
+def sweep_shadow(scene_arrays, cluster_leaf, leaf_ids, leaf_act, origin, direction, state):
+    chans = _gather_channels(scene_arrays, leaf_ids)
+    (t,) = _sweep_call(
+        chans, origin, direction, _act_bits(leaf_act), [state["t"]],
+        q_slots=leaf_ids.shape[1], leaf=cluster_leaf, shadow=True,
+        interpret=_interpret(),
+    )
+    return {"t": t}
+
+
+def walk_collect(rows_pad, origin, direction, t, m0, m1, m2, cur1, cur2, ph0, ph1, ph2):
+    """Advance every lane's wide-BVH walk, collecting up to WALK_LEAVES
+    pending leaf ids per lane (or until its masks are exhausted). Returns
+    (m0, m1, m2, cur1, cur2, ph1, ph2, leaf_ids [N, WALK_LEAVES] with -1
+    marking empty slots); ph0 is never modified by a walk."""
+    ph = (
+        ph0.astype(jnp.int32)
+        | (ph1.astype(jnp.int32) << 1)
+        | (ph2.astype(jnp.int32) << 2)
+    )
+    out = _walk_call(
+        rows_pad, origin, direction, t, m0, m1, m2, cur1, cur2, ph,
+        interpret=_interpret(),
+    )
+    m0, m1, m2, cur1, cur2, ph = out[:6]
+    leaf_ids = jnp.stack(out[6:], axis=1)
+    return m0, m1, m2, cur1, cur2, (ph & 2) != 0, (ph & 4) != 0, leaf_ids

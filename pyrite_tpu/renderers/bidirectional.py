@@ -104,42 +104,58 @@ def _lamp_path_factors(scene: Scene, path, wavelengths, cfg: TraceConfig):
 def _light_splats(
     scene, film, camera, cfg, key, path, wavelengths, pp, aux_ok, acc, wt
 ):
-    """Light-tracing splats (bidirectional.rs:253-306)."""
+    """Light-tracing splats (bidirectional.rs:253-306).
+
+    All L+1 lamp slots are projected and shadow-tested in ONE flattened
+    [N*(L+1)] batch and exposed with a single film scatter (the reference's
+    per-vertex loop costs (L+1) serial dispatch rounds on this machine)."""
     n, slots = path["valid"].shape
     s_count = wavelengths.shape[1]
     len_lamp = jnp.maximum(path["length"], 1)
     splat_weight = 1.0 / len_lamp.astype(jnp.float32)
 
-    for k in range(slots):
-        mask = path["valid"][:, k] & path["is_diffuse"][:, k]
-        k_lens = jax.random.fold_in(key, k)
-        u = jax.random.uniform(k_lens, (n, 2))
-        view_xy, world_origin, direction, distance, ok = camera_inverse_project(
-            camera, path["position"][:, k], u[:, 0], u[:, 1]
-        )
-        mask &= ok
-        mask &= (jnp.abs(view_xy[:, 0]) < 1.0) & (jnp.abs(view_xy[:, 1]) < 1.0)
+    # identical PRNG draws to the per-slot loop (fold_in(key, k))
+    u = jnp.stack(
+        [
+            jax.random.uniform(jax.random.fold_in(key, k), (n, 2))
+            for k in range(slots)
+        ],
+        axis=1,
+    )  # [N, K, 2]
 
-        t_hit = intersect_shadow(
-            scene, world_origin, direction, cfg,
-            max_dist=distance, block_below=distance - DIST_EPSILON,
-        )
-        mask &= ~(jnp.isfinite(t_hit) & (t_hit < distance - DIST_EPSILON))
+    flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
+    mask = flat(path["valid"] & path["is_diffuse"])
+    view_xy, world_origin, direction, distance, ok = camera_inverse_project(
+        camera, flat(path["position"]), flat(u[..., 0]), flat(u[..., 1])
+    )
+    mask &= ok
+    mask &= (jnp.abs(view_xy[:, 0]) < 1.0) & (jnp.abs(view_xy[:, 1]) < 1.0)
 
-        scale = 1.0 / jnp.maximum(distance * distance, 1e-20)
-        brightness = pp[:, k] * scale[:, None]  # [N, S]
+    t_hit = intersect_shadow(
+        scene, world_origin, direction, cfg,
+        max_dist=distance, block_below=distance - DIST_EPSILON,
+    )
+    mask &= ~(jnp.isfinite(t_hit) & (t_hit < distance - DIST_EPSILON))
 
-        cols = jnp.concatenate(
-            [
-                jnp.ones((n, 1), bool),
-                jnp.broadcast_to(aux_ok[:, k][:, None], (n, s_count - 1)),
-            ],
-            axis=1,
-        )
-        weights = jnp.broadcast_to(splat_weight[:, None], (n, s_count))
-        acc, wt = film.expose(
-            acc, wt, view_xy, wavelengths, brightness, weights, mask[:, None] & cols
-        )
+    scale = 1.0 / jnp.maximum(distance * distance, 1e-20)
+    brightness = flat(pp) * scale[:, None]  # [N*K, S]
+
+    cols = jnp.concatenate(
+        [
+            jnp.ones((n * slots, 1), bool),
+            jnp.broadcast_to(flat(aux_ok)[:, None], (n * slots, s_count - 1)),
+        ],
+        axis=1,
+    )
+    weights = jnp.broadcast_to(
+        jnp.repeat(splat_weight, slots)[:, None], (n * slots, s_count)
+    )
+    wl_rep = jnp.repeat(wavelengths[:, None, :], slots, axis=1).reshape(
+        n * slots, s_count
+    )
+    acc, wt = film.expose(
+        acc, wt, view_xy, wl_rep, brightness, weights, mask[:, None] & cols
+    )
     return acc, wt
 
 
@@ -195,59 +211,73 @@ def make_render_step(
             state, extras = carry
             new_state, info = bounce_core(scene, cfg, wavelengths, state, bounce_key)
 
-            # connections (connect_paths): diffuse camera vertices only
+            # connections (connect_paths): diffuse camera vertices only.
+            # All L+1 lamp slots are connected in ONE flattened [N*(L+1)]
+            # shadow batch per bounce (the reference's per-vertex loop,
+            # bidirectional.rs:310-398, is free on a CPU megakernel but costs
+            # (L+1) serial dispatch rounds on the wavefront machine).
             cam_ok = info["is_diffuse"]
             conn_vsum = extras["conn_vsum"]
             conn_cnt = extras["conn_cnt"]
             if scene.num_lamps > 0:
-                for k in range(slots):
-                    lamp_ok = path["valid"][:, k] & ~lamp_specular[:, k]
-                    dirvec = path["position"][:, k] - info["position"]
-                    sqd = jnp.sum(dirvec * dirvec, axis=-1)
-                    dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
-                    conn_dir = dirvec / dist[:, None]
+                dirvec = path["position"] - info["position"][:, None, :]  # [N,K,3]
+                sqd = jnp.sum(dirvec * dirvec, axis=-1)
+                dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
+                conn_dir = dirvec / dist[..., None]
 
-                    good = cam_ok & lamp_ok
-                    good &= jnp.sum(info["normal"] * conn_dir, axis=-1) > 0.0
-                    good &= jnp.sum(path["normal"][:, k] * -conn_dir, axis=-1) > 0.0
+                cos_out_s = jnp.sum(info["normal"][:, None, :] * conn_dir, axis=-1)
+                cos_in_s = jnp.sum(path["normal"] * -conn_dir, axis=-1)
+                good = cam_ok[:, None] & path["valid"] & ~lamp_specular
+                good &= cos_out_s > 0.0
+                good &= cos_in_s > 0.0
 
-                    t_hit = intersect_shadow(
-                        scene, info["position"], conn_dir, cfg,
-                        max_dist=dist, block_below=dist - DIST_EPSILON,
-                    )
-                    good &= ~(jnp.isfinite(t_hit) & (t_hit < dist - DIST_EPSILON))
+                flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
+                origin_f = jnp.broadcast_to(
+                    info["position"][:, None, :], (n, slots, 3)
+                )
+                dist_f = flat(dist)
+                t_hit = intersect_shadow(
+                    scene, flat(origin_f), flat(conn_dir), cfg,
+                    max_dist=dist_f, block_below=dist_f - DIST_EPSILON,
+                )
+                blocked = (
+                    jnp.isfinite(t_hit) & (t_hit < dist_f - DIST_EPSILON)
+                ).reshape(n, slots)
+                good &= ~blocked
 
-                    cos_out = jnp.abs(jnp.sum(info["normal"] * conn_dir, axis=-1))
-                    cos_in = jnp.abs(
-                        jnp.sum(path["normal"][:, k] * -conn_dir, axis=-1)
-                    )
-                    brdf_conn = 2.0 * jnp.abs(
-                        jnp.sum(info["normal"] * conn_dir, axis=-1)
-                    )
-                    brdf_ratio = brdf_conn / jnp.maximum(info["brdf_stored"], 1e-20)
-                    scale = (
-                        cos_in
-                        * cos_out
-                        * brdf_ratio
-                        / (2.0 * jnp.pi * jnp.maximum(sqd, 1e-20))
-                    )
+                brdf_conn = 2.0 * jnp.abs(cos_out_s)
+                brdf_ratio = brdf_conn / jnp.maximum(
+                    info["brdf_stored"][:, None], 1e-20
+                )
+                scale = (
+                    jnp.abs(cos_in_s)
+                    * jnp.abs(cos_out_s)
+                    * brdf_ratio
+                    / (2.0 * jnp.pi * jnp.maximum(sqd, 1e-20))
+                )
 
-                    delta = new_state["reflectance"] * scale[:, None] * pp[:, k]
-                    value = new_state["brightness"] + delta
+                delta = (
+                    new_state["reflectance"][:, None, :]
+                    * scale[..., None]
+                    * pp
+                )  # [N, K, S]
+                value = new_state["brightness"][:, None, :] + delta
 
-                    cols = jnp.concatenate(
-                        [
-                            jnp.ones((n, 1), bool),
-                            jnp.broadcast_to(
-                                (new_state["aux_alive"] & aux_ok[:, k])[:, None],
-                                (n, s_count - 1),
-                            ),
-                        ],
-                        axis=1,
-                    )
-                    take = good[:, None] & cols
-                    conn_vsum = conn_vsum + jnp.where(take, value, 0.0)
-                    conn_cnt = conn_cnt + jnp.where(take, 1.0, 0.0)
+                aux_take = new_state["aux_alive"][:, None] & aux_ok  # [N, K]
+                cols = jnp.concatenate(
+                    [
+                        jnp.ones((n, slots, 1), bool),
+                        jnp.broadcast_to(
+                            aux_take[..., None], (n, slots, s_count - 1)
+                        ),
+                    ],
+                    axis=2,
+                )
+                take = good[..., None] & cols
+                conn_vsum = conn_vsum + jnp.sum(
+                    jnp.where(take, value, 0.0), axis=1
+                )
+                conn_cnt = conn_cnt + jnp.sum(take.astype(jnp.float32), axis=1)
 
             new_extras = {
                 "conn_vsum": conn_vsum,
@@ -257,7 +287,22 @@ def make_render_step(
             return (new_state, new_extras), None
 
         keys = jax.random.split(k_cam, cfg.bounces)
-        (state, extras), _ = jax.lax.scan(scan_body, (state, extras), keys)
+
+        # whole-batch early exit (the reference's per-thread loop stops when
+        # a path dies; a fixed scan would pay full masked depth at 256-bounce
+        # budgets)
+        def cam_cond(carry):
+            i, state, extras = carry
+            return (i < cfg.bounces) & jnp.any(state["alive"])
+
+        def cam_body(carry):
+            i, state, extras = carry
+            (state, extras), _ = scan_body((state, extras), keys[i])
+            return i + 1, state, extras
+
+        _, state, extras = jax.lax.while_loop(
+            cam_cond, cam_body, (jnp.int32(0), state, extras)
+        )
 
         # --- exposures ---------------------------------------------------------
         # camera-path samples, weight 1 (hero always, aux if never dispersed)
@@ -362,8 +407,11 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     import numpy as np
 
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
+    from .simple import chunk_order
+
+    order = chunk_order(chunks)
     for i in range(start_sample, total):
-        for c in range(chunks):
+        for c in order:
             acc, wt = step(acc, wt, keys[i * chunks + c], data, c * rows)
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))

@@ -76,10 +76,28 @@ def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
         return (new_state, new_chainR), vertex
 
     keys = jax.random.split(key, cfg.bounces)
-    (state, _), recorded = jax.lax.scan(
-        scan_body, (state, jnp.ones((n, s_count))), keys
+
+    # whole-batch early exit + preallocated [N, L, ...] vertex buffers
+    # (a fixed scan would pay full masked depth after every path died)
+    carry0 = (state, jnp.ones((n, s_count)))
+    probe = jax.eval_shape(lambda: scan_body(carry0, keys[0])[1])
+    bufs = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((n, cfg.bounces) + s.shape[1:], s.dtype), probe
     )
-    recorded = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1), recorded)
+
+    def cond(c):
+        i, carry, bufs = c
+        return (i < cfg.bounces) & jnp.any(carry[0]["alive"])
+
+    def body(c):
+        i, carry, bufs = c
+        carry, vertex = scan_body(carry, keys[i])
+        bufs = jax.tree_util.tree_map(
+            lambda b, v: b.at[:, i].set(v), bufs, vertex
+        )
+        return i + 1, carry, bufs
+
+    _, (state, _), recorded = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0, bufs))
     return state, recorded
 
 
@@ -98,15 +116,19 @@ _CELL_OFFSETS = jnp.asarray(
 )
 
 
-def grid_prepare(p_pos, p_valid, q_pos, radius):
-    """Sort photons by cell key and locate the 27 neighbor cells of each
-    query: returns (order [P], sorted_keys [P], starts [N, 27], ckeys [N, 27]).
-    Replaces the reference's kd-tree radius query (spatial/kd_tree.rs:47-106)
-    with a TPU-friendly sorted hash grid (cell size = gather radius)."""
+def grid_sort_photons(p_pos, p_valid, radius):
+    """Photon-side half of the hash grid: sort photons by cell key. Computed
+    once per photon batch (the photon map does not change across camera
+    bounces). Returns (order [P], sorted_keys [P])."""
     key_of, _ = _hash_cells(p_pos, radius)
     key_of = jnp.where(p_valid, key_of, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key_of)
-    sorted_keys = key_of[order]
+    return order, key_of[order]
+
+
+def grid_query(sorted_keys, q_pos, radius):
+    """Query-side half: locate the 27 neighbor cells of each query point in
+    the sorted photon keys. Returns (starts [N, 27], ckeys [N, 27])."""
     _, q_cell = _hash_cells(q_pos, radius)
     cells = q_cell[:, None, :] + _CELL_OFFSETS[None, :, :]
     ckeys = (
@@ -116,6 +138,16 @@ def grid_prepare(p_pos, p_valid, q_pos, radius):
     )
     n = q_pos.shape[0]
     starts = jnp.searchsorted(sorted_keys, ckeys.reshape(-1)).reshape(n, 27)
+    return starts, ckeys
+
+
+def grid_prepare(p_pos, p_valid, q_pos, radius):
+    """Sort photons by cell key and locate the 27 neighbor cells of each
+    query: returns (order [P], sorted_keys [P], starts [N, 27], ckeys [N, 27]).
+    Replaces the reference's kd-tree radius query (spatial/kd_tree.rs:47-106)
+    with a TPU-friendly sorted hash grid (cell size = gather radius)."""
+    order, sorted_keys = grid_sort_photons(p_pos, p_valid, radius)
+    starts, ckeys = grid_query(sorted_keys, q_pos, radius)
     return order, sorted_keys, starts, ckeys
 
 
@@ -157,6 +189,11 @@ def _gather(
 
     power_bins = photons["power_bins"]  # [P, B]
 
+    # photon-side sort hoisted out of the bounce loop (the photon map does
+    # not change across camera bounces); only the query side is per-bounce
+    order, sorted_keys = grid_sort_photons(p_pos, p_valid, radius)
+    bins = film.wavelength_to_bin(cam_wavelengths)  # [N, S]
+
     for b in range(bounces):
         valid = cam["valid"][:, b]
         pos = cam["position"][:, b]
@@ -165,8 +202,7 @@ def _gather(
         partialR = cam["partialR"][:, b]  # [N, S]
         cam_dispersed = cam["dispersed"][:, b]
 
-        bins = film.wavelength_to_bin(cam_wavelengths)  # [N, S]
-        order, sorted_keys, starts, ckeys = grid_prepare(p_pos, p_valid, pos, radius)
+        starts, ckeys = grid_query(sorted_keys, pos, radius)
 
         cos_cam = jnp.maximum(jnp.sum(incident * -normal, axis=-1), 0.0)
 

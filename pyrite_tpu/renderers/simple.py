@@ -53,6 +53,14 @@ def chunk_rays(film: Film, camera: CameraModel, cfg: TraceConfig, key, row0=0, r
     return positions, origin, direction, wavelengths
 
 
+def chunk_order(chunks: int):
+    """Center-out processing order for row-window chunks, reproducing the
+    reference's center-out tile sort (renderer/algorithm.rs:132-150, sorted
+    at :185): the subject (image center) resolves first in previews. RNG keys
+    stay indexed by chunk id, so results are order-invariant."""
+    return sorted(range(chunks), key=lambda c: (abs(c + 0.5 - chunks / 2), c))
+
+
 def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None, bounces=None) -> int:
     """Rows per launch, sized so one device launch stays far under the
     execution watchdog: the test budget bounds lanes x prims x bounces x
@@ -77,33 +85,77 @@ def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None, bounces=None) -
     return rows
 
 
-def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, jit=True):
-    """Build the jitted one-sample-per-pixel accumulation step.
+def pick_sample_batch(film: Film, scene: Scene, cfg: TraceConfig, rows: int) -> int:
+    """Stratified samples per launch. Only batches when the whole film fits
+    one chunk (rows == height) and the scene takes the dense-sweep path; the
+    lane total stays under ~600k so per-op cost stays near the overhead
+    floor and intermediates stay HBM-safe."""
+    import os
+
+    cap = int(os.environ.get("PYRITE_TPU_SAMPLE_BATCH", "4"))
+    if rows != film.height or scene.use_clusters or cap <= 1:
+        return 1
+    lanes = rows * film.width
+    if cfg is not None and scene.num_primitives > 128:
+        # respect the same per-launch work budget as pick_rows
+        budget = 6_000_000_000
+        per_lane = (
+            max(scene.num_primitives, 1)
+            * max(cfg.bounces, 1)
+            * (1 + cfg.light_samples)
+        )
+        cap = min(cap, max(1, budget // max(per_lane * lanes, 1)))
+    return max(1, min(cap, 600_000 // max(lanes, 1)))
+
+
+def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, jit=True, samples=1):
+    """Build the jitted accumulation step covering ``samples`` stratified
+    samples per pixel per launch.
+
+    The bounce loop is iteration-bound on this backend (per-op overhead is
+    ~15 us regardless of width below ~10^5 lanes), so tracing several
+    samples' lanes in ONE wavefront raises live-ray throughput nearly
+    linearly with ``samples`` — the reference gets the same effect for free
+    from its per-thread loop (renderer/mod.rs:126).
 
     The step takes the scene's device data as an argument (scene.device_data())
     so geometry and texture arrays are jit inputs, not compiled constants.
     ``jit=False`` returns the traced function un-jitted (for wrapping in a
-    shard_map, which jits at the outer level)."""
+    shard_map, which jits at the outer level). With samples == 1 the ``key``
+    argument is a single PRNG key; with samples > 1 it is a [samples] key
+    array (one per sub-sample, so ray generation matches sequential runs)."""
     rows = film.height if rows is None else rows
 
     def step(acc, wt, key, data, row0=0):
         with scene.bind(data):
-            positions, origin, direction, wavelengths = chunk_rays(
-                film, camera, cfg, key, row0=row0, rows=rows
-            )
-            k_trace = jax.random.fold_in(key, 7)
+            keys = key if samples > 1 else key[None]
+            parts = [
+                chunk_rays(film, camera, cfg, keys[s], row0=row0, rows=rows)
+                for s in range(samples)
+            ]
+            cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
+            origin, direction, wavelengths = cat(1), cat(2), cat(3)
+            k_trace = jax.random.fold_in(keys[0], 7)
             brightness, aux_alive = trace_paths(
                 scene, cfg, k_trace, origin, direction, wavelengths
             )
-            n, s = brightness.shape
+            n, s_count = brightness.shape
             mask = jnp.concatenate(
-                [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s - 1))],
+                [
+                    jnp.ones((n, 1), bool),
+                    jnp.broadcast_to(aux_alive[:, None], (n, s_count - 1)),
+                ],
                 axis=1,
             )
             weights = jnp.ones_like(brightness)
-            return expose_lanes(
-                film, acc, wt, row0, wavelengths, brightness, weights, mask
-            )
+            per = n // samples
+            for s in range(samples):
+                sl = slice(s * per, (s + 1) * per)
+                acc, wt = expose_lanes(
+                    film, acc, wt, row0, wavelengths[sl], brightness[sl],
+                    weights[sl], mask[sl],
+                )
+            return acc, wt
 
     return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
@@ -162,10 +214,12 @@ def _run_bounces(scene, cfg, wavelengths, state, key, max_steps):
     return state
 
 
-def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows):
+def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows, jit=True):
     """The jitted pieces of the survivor-pool scheduler: stage (trace +
     expose dead + pool survivors), flush-step and shrink factories (the
-    width ladder), expose-pool, plus the empty pool constructor."""
+    width ladder), expose-pool, plus the empty pool constructor.
+    ``jit=False`` returns the raw traced functions (for shard_map lifting,
+    which jits at the outer level)."""
     n = rows * film.width
     s = cfg.spectrum_samples
 
@@ -255,7 +309,7 @@ def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceC
                     jnp.sum(state["alive"].astype(jnp.int32)),
                 )
 
-        return jax.jit(flush_step, donate_argnums=(0,))
+        return jax.jit(flush_step, donate_argnums=(0,)) if jit else flush_step
 
     def make_shrink(width_to):
         """Expose a pool's finished lanes and compact the live ones into a
@@ -294,7 +348,7 @@ def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceC
                 small["state"]["alive"] = small["valid"]
                 return acc, wt, small
 
-        return jax.jit(shrink, donate_argnums=(0, 1, 2))
+        return jax.jit(shrink, donate_argnums=(0, 1, 2)) if jit else shrink
 
     def expose_pool(acc, wt, pool):
         state = pool["state"]
@@ -305,12 +359,18 @@ def make_pooled_steps(scene: Scene, film: Film, camera: CameraModel, cfg: TraceC
             state["brightness"], jnp.ones((w, s)), mask,
         )
 
+    if not jit:
+        return stage, empty_pool, make_flush_step, make_shrink, expose_pool, expose_pool
     return (
         jax.jit(stage, donate_argnums=(0, 1, 2)),
         empty_pool,
         make_flush_step,
         make_shrink,
         jax.jit(expose_pool, donate_argnums=(0, 1)),
+        # non-donating copy for previews: includes in-flight survivors'
+        # partial brightness so progress callbacks see pooled contributions
+        # between flushes (otherwise previews jump at flush boundaries)
+        jax.jit(expose_pool),
     )
 
 
@@ -361,14 +421,44 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
 
     if cfg.bounces >= POOL_MIN_BOUNCES:
+        pooled_rows = pick_rows(film, scene, cfg, bounces=STAGE_BOUNCES)
+        if pooled_rows != rows:
+            # the pooled scheduler only traces STAGE_BOUNCES per launch, so
+            # its chunks can be much larger than the one-shot budget allows
+            rows = pooled_rows
+            chunks = film.height // rows
+            keys = np.asarray(
+                jax.random.split(jax.random.PRNGKey(seed), total * chunks)
+            )
         return _render_pooled(
             scene, film, camera, cfg, rows, acc, wt, data, keys,
-            start_sample, total, chunks, on_progress,
+            start_sample, total, chunks, on_progress, seed=seed,
         )
 
+    batch = pick_sample_batch(film, scene, cfg, rows)
+    if batch > 1 and chunks == 1:
+        step = make_render_step(scene, film, camera, cfg, rows=rows, samples=batch)
+        tail_step = None
+        i = start_sample
+        while i < total:
+            take = min(batch, total - i)
+            if take == batch:
+                kgroup = jnp.stack([jnp.asarray(keys[i + s]) for s in range(take)])
+                acc, wt = step(acc, wt, kgroup, data, 0)
+            else:
+                if tail_step is None:
+                    tail_step = make_render_step(scene, film, camera, cfg, rows=rows)
+                for s in range(take):
+                    acc, wt = tail_step(acc, wt, keys[i + s], data, 0)
+            i += take
+            if on_progress is not None:
+                on_progress(RenderProgress(sample=i, total=total, acc=acc, wt=wt, film=film))
+        return film, acc, wt
+
     step = make_render_step(scene, film, camera, cfg, rows=rows)
+    order = chunk_order(chunks)
     for i in range(start_sample, total):
-        for c in range(chunks):
+        for c in order:
             acc, wt = step(acc, wt, keys[i * chunks + c], data, c * rows)
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
@@ -377,10 +467,10 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
 
 def _render_pooled(
     scene, film, camera, cfg, rows, acc, wt, data, keys,
-    start_sample, total, chunks, on_progress,
+    start_sample, total, chunks, on_progress, seed=0,
 ):
     """Host loop of the survivor-pool scheduler (deep-bounce scenes)."""
-    stage, empty_pool, make_flush_step, make_shrink, expose_pool = (
+    stage, empty_pool, make_flush_step, make_shrink, expose_pool, snap_pool = (
         make_pooled_steps(scene, film, camera, cfg, rows)
     )
     capacity = rows * film.width
@@ -392,10 +482,13 @@ def _render_pooled(
     pool = empty_pool()
     fill = 0
     key_counter = [0]
+    # flush keys fold the render seed so deep-bounce randomness differs
+    # between seeds (a fixed base key would correlate renders past STAGE)
+    flush_base = jax.random.fold_in(jax.random.PRNGKey(seed), 0x9E3779B9)
 
     def next_key():
         key_counter[0] += 1
-        return jax.random.fold_in(jax.random.PRNGKey(0x9E3779B9), key_counter[0])
+        return jax.random.fold_in(flush_base, key_counter[0])
 
     def flush(acc, wt, pool, fill):
         """Run the pool to completion down a shrinking width ladder: after
@@ -424,8 +517,9 @@ def _render_pooled(
     # the pool holds POOL_FACTOR x a chunk's lanes; flushing whenever the
     # remaining space could not absorb a worst-case (all-survive) chunk
     # guarantees the in-stage survivor scatter never drops a lane
+    order = chunk_order(chunks)
     for i in range(start_sample, total):
-        for c in range(chunks):
+        for c in order:
             if fill + capacity > POOL_FACTOR * capacity:
                 acc, wt, pool = flush(acc, wt, pool, fill)
                 fill = 0
@@ -434,7 +528,10 @@ def _render_pooled(
             )
             fill += int(n_alive)
         if on_progress is not None:
-            on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
+            # preview snapshot includes pooled survivors' partial sums so the
+            # image doesn't jump at (rare) flush boundaries
+            p_acc, p_wt = (acc, wt) if fill == 0 else snap_pool(acc, wt, pool)
+            on_progress(RenderProgress(sample=i + 1, total=total, acc=p_acc, wt=p_wt, film=film))
     acc, wt, pool = flush(acc, wt, pool, fill)
     return film, acc, wt
 
@@ -443,7 +540,9 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
     """Multi-device rendering: the sample axis is sharded over ``mesh`` (one
     stratified sample per device per step into per-device film shards), and
     the film merge is a single all-reduce at development time. Honors the
-    exact requested sample count and checkpoint resume (parallel.run_sharded)."""
+    exact requested sample count and checkpoint resume (parallel.run_sharded).
+    Deep-bounce budgets take the survivor-pool scheduler with one
+    device-resident pool per shard (_render_pooled_sharded)."""
     from ..parallel.mesh import run_sharded
 
     project = project_data.project
@@ -460,11 +559,19 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         light_samples=settings.light_samples,
         spectrum_samples=settings.spectrum_samples,
     )
-    rows = pick_rows(film, scene, cfg)
-    step = make_render_step(scene, film, camera, cfg, rows=rows, jit=False)
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
+
+    if cfg.bounces >= POOL_MIN_BOUNCES:
+        rows = pick_rows(film, scene, cfg, bounces=STAGE_BOUNCES)
+        return _render_pooled_sharded(
+            scene, film, camera, cfg, rows, mesh, seed, total,
+            on_progress=on_progress, resume=resume,
+        )
+
+    rows = pick_rows(film, scene, cfg)
+    step = make_render_step(scene, film, camera, cfg, rows=rows, jit=False)
     return run_sharded(
         step,
         film,
@@ -478,3 +585,192 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         resume=resume,
         progress_cls=RenderProgress,
     )
+
+
+def _render_pooled_sharded(
+    scene, film, camera, cfg, rows, mesh, seed, total, on_progress=None, resume=None
+):
+    """Survivor-pool scheduling over the device mesh: each shard keeps its
+    own ray pool; the host drives all shards in lockstep, flushing whenever
+    the fullest shard's pool could overflow (per-device fill counts ride
+    back as a [D] array per stage). Film merge stays the single psum at
+    development time (parallel/mesh.py semantics)."""
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import device_film_buffers, merge_films, step_keys
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    data = scene.device_data()
+    chunks = film.height // rows
+    capacity = rows * film.width
+
+    stage_raw, empty_pool, make_flush_raw, make_shrink_raw, expose_raw, _ = (
+        make_pooled_steps(scene, film, camera, cfg, rows, jit=False)
+    )
+
+    start = 0
+    resume_films = None
+    if resume is not None:
+        resume_films = (resume["acc"], resume["wt"])
+        start = resume["samples_done"]
+    acc, wt = device_film_buffers(film, mesh, resume=resume_films)
+
+    def rep1(tree):
+        return jax.tree_util.tree_map(lambda x: x[None], tree)
+
+    def take0(tree):
+        return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+    def per_device_stage(acc, wt, pool, fill, keys, enabled, data, row0):
+        acc2, wt2, pool2, n_alive = stage_raw(
+            acc[0], wt[0], take0(pool), fill[0], keys[0], data, row0
+        )
+        keep = enabled[0]
+        acc2 = jnp.where(keep, acc2, acc[0])
+        wt2 = jnp.where(keep, wt2, wt[0])
+        pool2 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(keep, new, old[0]), pool2, pool
+        )
+        n_alive = jnp.where(keep, n_alive, 0)
+        return acc2[None], wt2[None], rep1(pool2), n_alive[None]
+
+    sharded_stage = jax.jit(
+        shard_map(
+            per_device_stage,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+
+    flush_fns = {}
+
+    def sharded_flush(steps):
+        if steps not in flush_fns:
+            raw = make_flush_raw(steps)
+
+            def per_device(pool, keys, data):
+                pool2, n_alive = raw(take0(pool), keys[0], data)
+                return rep1(pool2), n_alive[None]
+
+            flush_fns[steps] = jax.jit(
+                shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(P(axis), P(axis), P()),
+                    out_specs=(P(axis), P(axis)),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+        return flush_fns[steps]
+
+    shrink_fns = {}
+
+    def sharded_shrink(width_to):
+        if width_to not in shrink_fns:
+            raw = make_shrink_raw(width_to)
+
+            def per_device(acc, wt, pool, data):
+                acc2, wt2, pool2 = raw(acc[0], wt[0], take0(pool), data)
+                return acc2[None], wt2[None], rep1(pool2)
+
+            shrink_fns[width_to] = jax.jit(
+                shard_map(
+                    per_device, mesh=mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P()),
+                    out_specs=(P(axis), P(axis), P(axis)),
+                    check_vma=False,
+                ),
+                donate_argnums=(0, 1, 2),
+            )
+        return shrink_fns[width_to]
+
+    def per_device_expose(acc, wt, pool):
+        acc2, wt2 = expose_raw(acc[0], wt[0], take0(pool))
+        return acc2[None], wt2[None]
+
+    sharded_expose = jax.jit(
+        shard_map(
+            per_device_expose, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+    # per-device pools, replicated construction then sharded put
+    sharding = NamedSharding(mesh, P(axis))
+    pool1 = empty_pool()
+    pool = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            jnp.broadcast_to(x[None], (n_dev,) + x.shape), sharding
+        ),
+        pool1,
+    )
+
+    q, r = divmod(cfg.bounces - STAGE_BOUNCES, CONT_BOUNCES)
+    flush_plan = [CONT_BOUNCES] * q + ([r] if r else [])
+    key = jax.random.PRNGKey(seed)
+    flush_base = jax.random.fold_in(jax.random.PRNGKey(seed), 0x9E3779B9)
+    key_counter = [0]
+
+    def next_keys():
+        key_counter[0] += 1
+        return jax.random.split(
+            jax.random.fold_in(flush_base, key_counter[0]), n_dev
+        )
+
+    def flush(acc, wt, pool, fills):
+        if int(fills.max()) == 0:
+            return acc, wt, pool, np.zeros(n_dev, np.int64)
+        count = int(fills.max())
+        for steps in flush_plan:
+            pool, n_alive = sharded_flush(steps)(pool, next_keys(), data)
+            count = int(np.asarray(n_alive).max())
+            if count == 0:
+                break
+            width = pool["valid"].shape[1]
+            while width >= 2048 and count <= width // 4:
+                width_to = width // 4
+                acc, wt, pool = sharded_shrink(width_to)(acc, wt, pool, data)
+                width = width_to
+        acc, wt = sharded_expose(acc, wt, pool)
+        fresh = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                jnp.broadcast_to(x[None], (n_dev,) + x.shape), sharding
+            ),
+            empty_pool(),
+        )
+        return acc, wt, fresh, np.zeros(n_dev, np.int64)
+
+    lane = np.arange(n_dev)
+    fills = np.zeros(n_dev, np.int64)
+    done = start
+    group = -(-start // n_dev)
+    order = chunk_order(chunks)
+    while done < total:
+        take = min(n_dev, total - done)
+        enabled = jnp.asarray(lane < take)
+        for c in order:
+            if int(fills.max()) + capacity > POOL_FACTOR * capacity:
+                acc, wt, pool, fills = flush(acc, wt, pool, fills)
+            keys = step_keys(key, n_dev, group * chunks + c)
+            acc, wt, pool, n_alive = sharded_stage(
+                acc, wt, pool, jnp.asarray(fills, jnp.int32), keys, enabled,
+                data, jnp.int32(c * rows),
+            )
+            fills = fills + np.asarray(n_alive, np.int64)
+        done += take
+        group += 1
+        if on_progress is not None:
+            m_acc, m_wt = merge_films(acc, wt)
+            on_progress(RenderProgress(sample=done, total=total, acc=m_acc, wt=m_wt, film=film))
+    acc, wt, pool, fills = flush(acc, wt, pool, fills)
+    m_acc, m_wt = merge_films(acc, wt)
+    return film, m_acc, m_wt

@@ -682,6 +682,14 @@ def build_scene(project_data) -> Scene:
             scene.cluster_slots = packed_geo.shape[0]
             scene.arrays["wide_rows"] = jnp.asarray(rows)
             scene.arrays["clu_geo"] = jnp.asarray(packed_geo)
+            from . import kernels
+
+            # padded copy for the fused Pallas walk (MXU-aligned one-hot dots)
+            scene.arrays["wide_rows_pad"] = jnp.asarray(kernels.pad_rows(rows))
+            # channel-major copy for the fused Pallas leaf sweep
+            scene.arrays["clu_geo_ch"] = jnp.asarray(
+                kernels.pack_geo_channel_major(packed_geo)
+            )
     # small scenes use the dense sweep; large ones the clustered traversal —
     # the vmapped-while_loop flat BVH is never a device path (it faults on
     # the axon TPU backend)

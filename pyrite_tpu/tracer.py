@@ -63,6 +63,31 @@ class TraceConfig:
 # =============================================================================
 
 
+# Fractal iteration unroll granularity: a fully rolled fori_loop blocks XLA
+# fusion (each of ~30 polynomial ops per iteration dispatches separately —
+# the dominant cost of DE scenes on this backend), while a full unroll of
+# `iterations` (25 in cornell.lua) at every estimator call site explodes
+# compile time. Groups of 8 fuse well and keep graphs ~3x smaller.
+_DE_UNROLL = 8
+
+
+def _grouped_iterate(body, carry, iterations):
+    """Apply ``body`` (index-insensitive) ``iterations`` times: full groups
+    of _DE_UNROLL inside a fori_loop (each group body fuses), remainder
+    unrolled."""
+    groups, rest = divmod(iterations, _DE_UNROLL)
+    if groups > 0:
+        def group_body(_, c):
+            for i in range(_DE_UNROLL):
+                c = body(i, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, groups, group_body, carry)
+    for i in range(rest):
+        carry = body(i, carry)
+    return carry
+
+
 def _de_distance(est: dict, p):
     """Distance estimator evaluation (shapes/distance_estimators.rs)."""
     if est["kind"] == "mandelbulb":
@@ -106,7 +131,7 @@ def _de_distance(est: dict, p):
         r0 = jnp.zeros(p.shape[:-1])
         dr0 = jnp.ones(p.shape[:-1])
         done0 = jnp.zeros(p.shape[:-1], bool)
-        z, r, dr, _ = jax.lax.fori_loop(0, iterations, body, (z0, r0, dr0, done0))
+        z, r, dr, _ = _grouped_iterate(body, (z0, r0, dr0, done0), iterations)
         return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dr
 
     # quaternion julia: z as (x, y, z, slice) quaternion (w=point coords!)
@@ -180,7 +205,7 @@ def _de_distance(est: dict, p):
         [jnp.ones(p.shape[:-1] + (1,)), jnp.zeros(p.shape[:-1] + (3,))], axis=-1
     )
     done0 = jnp.zeros(p.shape[:-1], bool)
-    z, r, dz, _ = jax.lax.fori_loop(0, iterations, body, (z0, r0, dz0, done0))
+    z, r, dz, _ = _grouped_iterate(body, (z0, r0, dz0, done0), iterations)
     dz_mag = jnp.sqrt(jnp.maximum(geom.dot(dz, dz), 1e-30))
     return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dz_mag
 
@@ -492,13 +517,21 @@ def surface_data(scene: Scene, hit, origin, direction, cfg: TraceConfig):
         local = (origin - center) + direction * (safe_t - DIST_EPSILON)[:, None]
         eps = DIST_EPSILON
 
-        def dgrad(axis):
-            offs = jnp.zeros((1, 3)).at[0, axis].set(eps)
-            return _de_distance(shape.estimator, local + offs) - _de_distance(
-                shape.estimator, local - offs
-            )
-
-        de_n = geom.normalize(jnp.stack([dgrad(0), dgrad(1), dgrad(2)], axis=-1))
+        # all six central-difference probes in ONE estimator eval (the
+        # estimator graph is large — six separate inlines exploded compile)
+        n_lanes = local.shape[0]
+        offsets = jnp.concatenate(
+            [
+                jnp.eye(3, dtype=local.dtype) * eps,
+                -jnp.eye(3, dtype=local.dtype) * eps,
+            ],
+            axis=0,
+        )  # [6, 3]
+        probes = (local[None, :, :] + offsets[:, None, :]).reshape(6 * n_lanes, 3)
+        d6 = _de_distance(shape.estimator, probes).reshape(6, n_lanes)
+        de_n = geom.normalize(
+            jnp.stack([d6[0] - d6[3], d6[1] - d6[4], d6[2] - d6[5]], axis=-1)
+        )
         de_q = geom.de_normal_quat(de_n)
         normal = jnp.where(sel[:, None], de_n, normal)
         quat = jnp.where(sel[:, None], de_q, quat)
@@ -832,91 +865,112 @@ def trace_direct(
     """Direct-light (NEE) contribution for the current bounce.
 
     Returns brightness delta [N, S]. ``reflectance`` is the throughput
-    *after* the surface color multiply, matching contribute()'s ordering."""
+    *after* the surface color multiply, matching contribute()'s ordering.
+
+    All ``light_samples`` samples are flattened into ONE [N*ls] batch so the
+    shadow query (and on DE scenes the sphere-trace march) runs once per
+    bounce instead of ls serial times — the reference's per-thread loop
+    (tracer.rs:362-399) has no such cost structure, but per-op overhead on
+    the wavefront machine makes serial sample loops the dominant cost."""
     n = position.shape[0]
+    s_count = reflectance.shape[1]
     delta = jnp.zeros_like(reflectance)
     if scene.num_lamps == 0 or cfg.light_samples == 0:
         return delta
+    ls = cfg.light_samples
 
     k_pick, key = jax.random.split(key)
     lamp_idx = jax.random.randint(k_pick, (n,), 0, scene.num_lamps)
     pick_prob = 1.0 / scene.num_lamps
-    probability = 1.0 / (cfg.light_samples * 2.0 * jnp.pi * pick_prob)
+    probability = 1.0 / (ls * 2.0 * jnp.pi * pick_prob)
 
     flip = jnp.where((geom.dot(ray_in, normal) < 0.0)[:, None], normal, -normal)
 
-    for s in range(cfg.light_samples):
-        k_s = jax.random.fold_in(key, s)
-        u = jax.random.uniform(k_s, (n, 4))
-        k_e = jax.random.fold_in(k_s, 1)
-        samp = sample_lamp(scene, lamp_idx, position, u)
+    # identical PRNG draws to the per-sample loop (k_s = fold_in(key, s)),
+    # stacked then flattened to the [ls*N] mega-batch
+    u = jnp.concatenate(
+        [jax.random.uniform(jax.random.fold_in(key, s), (n, 4)) for s in range(ls)],
+        axis=0,
+    )
+    u_emis = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.fold_in(jax.random.fold_in(key, s), 1), (n,))
+            for s in range(ls)
+        ],
+        axis=0,
+    )
 
-        cos_out = jnp.maximum(geom.dot(flip, samp["direction"]), 0.0)
-        contributes = active & (cos_out > 0.0)
+    tile = lambda x: jnp.concatenate([x] * ls, axis=0)
+    position_f = tile(position)
+    flip_f = tile(flip)
+    wavelengths_f = tile(wavelengths)
+    lamp_idx_f = tile(lamp_idx)
 
-        # shadow ray, pruned at the lamp distance with any-hit early exit
-        # below the caller's own occlusion bound
-        lamp_dist = jnp.sqrt(samp["sq_distance"])
-        block_below = jnp.sqrt(jnp.maximum(samp["sq_distance"] - DIST_EPSILON, 0.0))
-        t_hit = intersect_shadow(
-            scene, position, samp["direction"], cfg,
-            max_dist=lamp_dist, block_below=block_below,
-        )
-        has_hit = jnp.isfinite(t_hit)
-        hit_sq = jnp.where(has_hit, t_hit * t_hit, jnp.inf)
-        blocked = jnp.where(
-            jnp.isinf(samp["sq_distance"]),
-            has_hit,
-            has_hit & (hit_sq < samp["sq_distance"] - DIST_EPSILON),
-        )
-        contributes &= ~blocked
+    samp = sample_lamp(scene, lamp_idx_f, position_f, u)
 
-        # emissive surface sampling on physical lamps
-        e_comp, e_sel = choose_emissive(
-            scene, samp["surf_mat"], jax.random.uniform(k_e, (n,))
-        )
-        target_normal = jnp.where(
-            samp["is_shape"][:, None], samp["surf_normal"], -samp["direction"]
-        )
-        prob_inputs = ProgramInputs(
-            wavelength=wavelengths,
-            normal=target_normal,
-            incident=samp["direction"],
-            uv=samp["surf_uv"],
-        )
-        mat_prob = eval_prob_bank(
-            scene, scene.arrays["comp_prob"][e_comp], prob_inputs, active=contributes
-        ) * e_sel
-        mat_prob = jnp.where(samp["is_shape"], mat_prob, 1.0)
-        l_dispersed = jnp.where(
-            samp["is_shape"], scene.arrays["comp_prob_uses_wl"][e_comp], False
-        )
+    cos_out = jnp.maximum(geom.dot(flip_f, samp["direction"]), 0.0)
+    contributes = tile(active) & (cos_out > 0.0)
 
-        color_prog = jnp.where(
-            samp["is_shape"], scene.arrays["comp_color"][e_comp], samp["color_prog"]
-        )
-        l_color = eval_color_bank(scene, color_prog, prob_inputs, active=contributes)
+    # shadow rays, pruned at the lamp distance with any-hit early exit
+    # below the caller's own occlusion bound
+    lamp_dist = jnp.sqrt(samp["sq_distance"])
+    block_below = jnp.sqrt(jnp.maximum(samp["sq_distance"] - DIST_EPSILON, 0.0))
+    t_hit = intersect_shadow(
+        scene, position_f, samp["direction"], cfg,
+        max_dist=lamp_dist, block_below=block_below,
+    )
+    has_hit = jnp.isfinite(t_hit)
+    hit_sq = jnp.where(has_hit, t_hit * t_hit, jnp.inf)
+    blocked = jnp.where(
+        jnp.isinf(samp["sq_distance"]),
+        has_hit,
+        has_hit & (hit_sq < samp["sq_distance"] - DIST_EPSILON),
+    )
+    contributes &= ~blocked
 
-        brdf = 2.0 * jnp.abs(geom.dot(flip, samp["direction"]))
-        scale = samp["weight"] * probability * brdf
-        l_prob = scale * mat_prob
+    # emissive surface sampling on physical lamps
+    e_comp, e_sel = choose_emissive(scene, samp["surf_mat"], u_emis)
+    target_normal = jnp.where(
+        samp["is_shape"][:, None], samp["surf_normal"], -samp["direction"]
+    )
+    prob_inputs = ProgramInputs(
+        wavelength=wavelengths_f,
+        normal=target_normal,
+        incident=samp["direction"],
+        uv=samp["surf_uv"],
+    )
+    mat_prob = eval_prob_bank(
+        scene, scene.arrays["comp_prob"][e_comp], prob_inputs, active=contributes
+    ) * e_sel
+    mat_prob = jnp.where(samp["is_shape"], mat_prob, 1.0)
+    l_dispersed = jnp.where(
+        samp["is_shape"], scene.arrays["comp_prob_uses_wl"][e_comp], False
+    )
 
-        contrib = l_color * (l_prob)[:, None] * reflectance
-        # hero always contributes; auxiliaries only while alive and when the
-        # lamp's material probability didn't read the wavelength
-        col_mask = jnp.concatenate(
-            [
-                jnp.ones((n, 1), bool),
-                jnp.broadcast_to(
-                    (aux_alive & ~l_dispersed)[:, None],
-                    (n, reflectance.shape[1] - 1),
-                ),
-            ],
-            axis=1,
-        )
-        delta = delta + jnp.where(
-            contributes[:, None] & col_mask, contrib, 0.0
-        )
+    color_prog = jnp.where(
+        samp["is_shape"], scene.arrays["comp_color"][e_comp], samp["color_prog"]
+    )
+    l_color = eval_color_bank(scene, color_prog, prob_inputs, active=contributes)
+
+    brdf = 2.0 * jnp.abs(geom.dot(flip_f, samp["direction"]))
+    scale = samp["weight"] * probability * brdf
+    l_prob = scale * mat_prob
+
+    contrib = l_color * l_prob[:, None] * tile(reflectance)
+    # hero always contributes; auxiliaries only while alive and when the
+    # lamp's material probability didn't read the wavelength
+    col_mask = jnp.concatenate(
+        [
+            jnp.ones((ls * n, 1), bool),
+            jnp.broadcast_to(
+                (tile(aux_alive) & ~l_dispersed)[:, None],
+                (ls * n, s_count - 1),
+            ),
+        ],
+        axis=1,
+    )
+    contrib = jnp.where(contributes[:, None] & col_mask, contrib, 0.0)
+    delta = delta + jnp.sum(contrib.reshape(ls, n, s_count), axis=0)
 
     return delta
 
@@ -1378,9 +1432,31 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
         return new_state, vertex
 
     keys = jax.random.split(k_trace, cfg.bounces)
-    _, recorded = jax.lax.scan(lamp_bounce_step, state, keys)
-    # recorded: dict of [L, N, ...] -> [N, L, ...]
-    recorded = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 0, 1), recorded)
+
+    # while_loop with whole-batch early exit instead of a fixed lax.scan:
+    # deep light budgets (snowflake/dragon run light_bounces = 256) would
+    # otherwise execute the full masked depth long after every path died.
+    # Vertices are recorded into preallocated [N, L, ...] buffers.
+    probe = jax.eval_shape(lambda: lamp_bounce_step(state, keys[0])[1])
+    bufs = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((n, cfg.bounces) + s.shape[1:], s.dtype), probe
+    )
+
+    def lamp_cond(carry):
+        i, st, bufs = carry
+        return (i < cfg.bounces) & jnp.any(st["alive"])
+
+    def lamp_body(carry):
+        i, st, bufs = carry
+        new_state, vertex = lamp_bounce_step(st, keys[i])
+        bufs = jax.tree_util.tree_map(
+            lambda b, v: b.at[:, i].set(v), bufs, vertex
+        )
+        return i + 1, new_state, bufs
+
+    _, _, recorded = jax.lax.while_loop(
+        lamp_cond, lamp_body, (jnp.int32(0), state, bufs)
+    )
 
     # prepend the emitter vertex
     def cat(first, rest):
@@ -1501,6 +1577,10 @@ def _cluster_traverse(
     n = origin.shape[0]
     lane_ids = jnp.arange(n, dtype=jnp.int32)
 
+    from . import kernels
+
+    use_pallas = kernels.walk_enabled() and "wide_rows_pad" in scene.arrays
+
     width = n // COMPACT_DIV
     compact = n >= COMPACT_MIN and width > 0
 
@@ -1514,6 +1594,44 @@ def _cluster_traverse(
     def outer_cond(carry):
         m0, m1, m2 = carry[0], carry[1], carry[2]
         return jnp.any((m0 | m1 | m2) != 0)
+
+    def outer_body_pallas(carry):
+        """Fused-walk outer round: ONE kernel launch advances every lane
+        until it holds up to kernels.WALK_LEAVES pending leaf ids (walk pops
+        cost machine instructions, not ~0.37 ms XLA dispatch rounds), then
+        ONE masked sweep tests all collected leaves — outer rounds collapse
+        from ~33 node-pop iterations to ~ceil(worst-lane leaf visits / Q)."""
+        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state = carry
+        m0, m1, m2, cur1, cur2, ph1, ph2, leaf_ids = kernels.walk_collect(
+            scene.arrays["wide_rows_pad"], origin, direction, state["t"],
+            m0, m1, m2, cur1, cur2, ph0, ph1, ph2,
+        )
+        leaf_act = leaf_ids >= 0
+        leaf_ids = jnp.clip(leaf_ids, 0, max_slot)
+        any_leaf = jnp.any(leaf_act, axis=1)
+        if "clu_geo_ch" in scene.arrays:
+            # fused sweep: XLA gathers the geometry sheet (native HLO), the
+            # kernel runs every test + winner select as one op
+            sweep_fn = (
+                kernels.sweep_shadow
+                if set(init_state.keys()) == {"t"}
+                else kernels.sweep_closest
+            )
+            updated = sweep_fn(
+                scene.arrays, scene.cluster_leaf, leaf_ids, leaf_act,
+                origin, direction, state,
+            )
+        else:
+            updated = leaf_sweep(leaf_ids, origin, direction, state, leaf_act)
+        state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(any_leaf, new, old), updated, state
+        )
+        if exit_below is not None:
+            done = state["t"] < exit_below
+            m0 = jnp.where(done, 0, m0)
+            m1 = jnp.where(done, 0, m1)
+            m2 = jnp.where(done, 0, m2)
+        return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state
 
     def outer_body(carry):
         m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state = carry
@@ -1604,7 +1722,9 @@ def _cluster_traverse(
             m2 = jnp.where(done, 0, m2)
         return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state
 
-    carry = jax.lax.while_loop(outer_cond, outer_body, carry0)
+    carry = jax.lax.while_loop(
+        outer_cond, outer_body_pallas if use_pallas else outer_body, carry0
+    )
     return carry[-1]
 
 

@@ -157,3 +157,37 @@ def test_sharded_photon_runs(tmp_path):
     img = np.asarray(film.develop(acc, wt)).mean(axis=2)
     assert img.max() > 0.01
     assert np.isfinite(img).all()
+
+
+POOLED_SCENE = SCENE.replace("bounces = 3,", "bounces = 24,")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pooled_matches_single_device(tmp_path):
+    """Deep-bounce budgets (>= POOL_MIN_BOUNCES) take the survivor-pool
+    scheduler; the sharded path keeps one pool per shard and must agree with
+    the single-device pooled render statistically. Also checks exact sample
+    accounting (total weight = samples x pixels x spectrum samples)."""
+    path = tmp_path / "scene.lua"
+    path.write_text(POOLED_SCENE)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert pd.project.renderer.bounces >= simple.POOL_MIN_BOUNCES
+
+    film, acc1, wt1 = simple.render(pd, scene, seed=0, max_samples=40)
+    single = np.asarray(film.develop(acc1, wt1)).mean(axis=2)
+
+    from pyrite_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8])
+    film, acc8, wt8 = simple.render_sharded(pd, scene, mesh, seed=1, max_samples=40)
+    sharded = np.asarray(film.develop(acc8, wt8)).mean(axis=2)
+
+    # every lane exposed exactly once in both schedulers
+    expected_wt = 40 * 16 * 16 * pd.project.renderer.spectrum_samples
+    assert np.asarray(wt1).sum() == pytest.approx(expected_wt)
+    assert np.asarray(wt8).sum() == pytest.approx(expected_wt)
+
+    lit = single > 0.05
+    rel = np.abs(single - sharded)[lit] / single[lit]
+    assert np.median(rel) < 0.2

@@ -101,6 +101,9 @@ def test_cluster_path_matches_dense_without_native(tmp_path, monkeypatch):
     import pyrite_tpu.tracer as tracer_mod
     from pyrite_tpu import native
 
+    # both paths must consume identical RNG streams; the dense path would
+    # otherwise take the multi-sample megabatch (different trace keys)
+    monkeypatch.setenv("PYRITE_TPU_SAMPLE_BATCH", "1")
     dense_img = render(tmp_path, "simple", 8)
 
     monkeypatch.setattr(native, "build_bvh_clustered", lambda *a, **k: None)
