@@ -425,3 +425,72 @@ def build_wide_bvh(leaf_lo: np.ndarray, leaf_hi: np.ndarray):
                 put(row2, k, leaf_lo[leaf], leaf_hi[leaf])
                 slot_of_leaf[leaf] = (i * WIDE_FANOUT + j) * WIDE_FANOUT + k
     return rows, slot_of_leaf
+
+
+def treelet_ranges(subtree, leaf_start, leaf_count, target):
+    """Cut the clustered binary SAH tree at maximal subtrees holding at most
+    ``target`` primitives; returns [(start, count)] contiguous ranges of the
+    primitive permutation, in DFS (spatially coherent) order.
+
+    These ranges become the wide tree's leaf clusters. Cutting at real SAH
+    subtrees gives each cluster a TIGHT bound; fixed-size chunking of the
+    DFS order (the previous scheme) produced snaking, heavily overlapping
+    cluster AABBs — on the 328k-tri terrain the median ray visited ~11
+    clusters where ~3 suffice."""
+    subtree = np.asarray(subtree)
+    leaf_start = np.asarray(leaf_start)
+    leaf_count = np.asarray(leaf_count)
+    n = len(subtree)
+    prim_count = np.zeros(n, np.int64)
+    first_start = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if leaf_count[i] > 0:
+            prim_count[i] = leaf_count[i]
+            first_start[i] = leaf_start[i]
+        else:
+            left = i + 1
+            right = left + subtree[left] + 1
+            prim_count[i] = prim_count[left] + prim_count[right]
+            first_start[i] = first_start[left]
+
+    ranges = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if prim_count[i] <= target or leaf_count[i] > 0:
+            ranges.append((int(first_start[i]), int(prim_count[i])))
+        else:
+            left = i + 1
+            right = left + subtree[left] + 1
+            stack.append(right)
+            stack.append(left)
+    return ranges
+
+
+def merge_ranges(ranges, target, capacity):
+    """Greedily merge ADJACENT (DFS-order) ranges while staying <= target
+    prims until at most ``capacity`` ranges remain. Adjacent DFS ranges are
+    spatial siblings, so merges stay coherent."""
+    ranges = list(ranges)
+    while len(ranges) > capacity:
+        merged = []
+        i = 0
+        did = False
+        while i < len(ranges):
+            if (
+                i + 1 < len(ranges)
+                and ranges[i][1] + ranges[i + 1][1] <= target
+            ):
+                merged.append((ranges[i][0], ranges[i][1] + ranges[i + 1][1]))
+                i += 2
+                did = True
+            else:
+                merged.append(ranges[i])
+                i += 1
+        if not did:
+            raise ValueError(
+                f"cannot merge {len(ranges)} clusters into {capacity} at "
+                f"leaf size {target}"
+            )
+        ranges = merged
+    return ranges

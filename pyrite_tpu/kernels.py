@@ -63,11 +63,16 @@ def pad_rows(rows: np.ndarray) -> np.ndarray:
 
 
 def walk_enabled() -> bool:
-    """The fused walk runs on real TPUs (or everywhere in interpret mode via
-    PYRITE_TPU_PALLAS=interpret, used by tests); PYRITE_TPU_PALLAS=0
-    disables it."""
+    """Fused-walk opt-in. Measured on the 328k-tri terrain (v5e), the
+    kernel path loses to the XLA pop loop (0.33 vs 0.57 Mrays/s live with
+    SAH-treelet clusters): the walk itself is ~10x cheaper in-kernel, but
+    the full-width leaf-sheet gathers between kernel calls (~786 MB/round
+    written by the XLA gather and re-read by the sweep kernel) outweigh it,
+    and leaf sweeps cannot move on-chip (no per-lane HBM gather in Mosaic).
+    PYRITE_TPU_PALLAS=1 enables it on TPU; =interpret runs it everywhere in
+    interpreter mode (used by the parity tests)."""
     mode = os.environ.get("PYRITE_TPU_PALLAS", "auto")
-    if mode == "0":
+    if mode in ("0", "auto"):
         return False
     if mode == "interpret":
         return True
@@ -245,6 +250,7 @@ def _walk_call(rows_pad, origin, direction, t, m0, m1, m2, cur1, cur2, ph, *, in
         out_shape=[
             jax.ShapeDtypeStruct((np_,), jnp.int32) for _ in range(n_out)
         ],
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(
         rows_pad,
@@ -284,11 +290,15 @@ _DIST_EPSILON = 1e-4
 
 
 def pack_geo_channel_major(packed_geo: np.ndarray) -> np.ndarray:
-    """[slots, L, 12] prim-major clu_geo -> [12, slots, L] channel planes.
-    The sweep kernel takes each channel as its own input so Mosaic's
-    double-buffered blocks stay at B x L floats (one [B, 12L] sheet block
-    would double-buffer to ~13 MB and overflow scoped VMEM)."""
-    return np.ascontiguousarray(np.transpose(packed_geo, (2, 0, 1)))
+    """[slots, L, 12] prim-major clu_geo -> [slots, 12*L] channel-major rows
+    (channel c of a leaf at columns c*L..(c+1)*L). One XLA gather fetches a
+    whole 6 KB leaf row (DRAM-efficient); the sweep kernel receives the same
+    sheet 12 times with per-channel block index maps, so each [B, L] channel
+    block is sliced by Mosaic's pipeline without a separate gather."""
+    slots, leaf, ch = packed_geo.shape
+    return np.ascontiguousarray(
+        np.transpose(packed_geo, (0, 2, 1))
+    ).reshape(slots, ch * leaf)
 
 
 def _sweep_math(chan_refs, leaf, ox, oy, oz, dx, dy, dz, act):
@@ -345,10 +355,22 @@ def _sweep_math(chan_refs, leaf, ox, oy, oz, dx, dy, dz, act):
     return t, is_tri, u, v, sl(11)
 
 
+# The scoped-VMEM default (16 MB) is a soft limit on this backend: raising
+# vmem_limit_bytes lets the double-buffered channel blocks + kernel
+# temporaries (~20-25 MB at full-leaf tiles) compile and run fine.
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _sub_leaf(leaf):
-    """Sub-leaf tile width: VMEM bounds both the double-buffered channel
-    blocks and the ~20 [B, SUB] kernel temporaries."""
-    return 64 if leaf % 64 == 0 else 32
+    """Sub-leaf tile width. Mosaic requires last-dim blocks divisible by
+    128, so tiles are whole leaves; callers gate on leaf % 128 == 0."""
+    return leaf
 
 
 def _make_sweep_closest_kernel(leaf):
@@ -436,17 +458,16 @@ def _make_sweep_shadow_kernel(leaf):
 @functools.partial(
     jax.jit, static_argnames=("q_slots", "leaf", "shadow", "interpret")
 )
-def _sweep_call(chans, origin, direction, act, state_vals, *, q_slots, leaf, shadow, interpret=False):
+def _sweep_call(sheet, origin, direction, act, state_vals, *, q_slots, leaf, shadow, interpret=False):
     from jax.experimental import pallas as pl
 
     n = origin.shape[0]
     block = SWEEP_BLOCK  # 1024-aligned always (see _walk_call)
     pad = (-n) % block
     if pad:
-        chans = [
-            jnp.concatenate([c, jnp.zeros((pad, c.shape[1]), c.dtype)])
-            for c in chans
-        ]
+        sheet = jnp.concatenate(
+            [sheet, jnp.zeros((pad, sheet.shape[1]), sheet.dtype)]
+        )
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3))])
         direction = jnp.concatenate([direction, jnp.ones((pad, 3))])
         act = jnp.concatenate([act, jnp.zeros(pad, act.dtype)])
@@ -458,12 +479,15 @@ def _sweep_call(chans, origin, direction, act, state_vals, *, q_slots, leaf, sha
         ]
     np_ = n + pad
 
-    # grid: (lane blocks, sub-leaf tiles); the tile dim is innermost so each
-    # lane block's output stays resident while its Q*tiles channel blocks
-    # (12 x [B, SUB] floats) stream through VMEM
-    sub = _sub_leaf(leaf)
+    # grid: (lane blocks, leaf slots); q is innermost so each lane block's
+    # output stays resident while the leaf sheets stream through VMEM. The
+    # SAME sheet array is passed 12 times with per-channel index maps, so
+    # one efficient 6 KB-row gather feeds all 12 [B, L] channel blocks.
     lane = pl.BlockSpec((block,), lambda i, q: (i,))
-    chan_spec = pl.BlockSpec((block, sub), lambda i, q: (i, q))
+
+    def chan_spec(c):
+        return pl.BlockSpec((block, leaf), lambda i, q, c=c: (i, q * 12 + c))
+
     n_out = 1 if shadow else 5
     kernel = (
         _make_sweep_shadow_kernel(leaf)
@@ -472,15 +496,17 @@ def _sweep_call(chans, origin, direction, act, state_vals, *, q_slots, leaf, sha
     )
     out = pl.pallas_call(
         kernel,
-        grid=(np_ // block, q_slots * (leaf // sub)),
-        in_specs=[chan_spec] * 12 + [lane] * (7 + len(state_vals)),
+        grid=(np_ // block, q_slots),
+        in_specs=[chan_spec(c) for c in range(12)]
+        + [lane] * (7 + len(state_vals)),
         out_specs=[lane] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((np_,), x.dtype) for x in state_vals
         ],
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(
-        *chans,
+        *([sheet] * 12),
         origin[:, 0], origin[:, 1], origin[:, 2],
         direction[:, 0], direction[:, 1], direction[:, 2],
         act,
@@ -491,13 +517,13 @@ def _sweep_call(chans, origin, direction, act, state_vals, *, q_slots, leaf, sha
     return tuple(out)
 
 
-def _gather_channels(scene_arrays, leaf_ids):
-    """Per-channel geometry planes for the collected leaves: 12 arrays
-    [N, Q*L] (XLA native gathers from the [12, slots, L] channel store)."""
-    geo = scene_arrays["clu_geo_ch"]  # [12, slots, L]
+def _gather_sheet(scene_arrays, leaf_ids):
+    """The collected leaves' channel-major geometry sheet [N, Q*12*L]: ONE
+    XLA gather of whole 6 KB leaf rows (efficient DRAM reads; gathering 12
+    separate 512 B channel planes measured ~4x slower)."""
+    geo = scene_arrays["clu_geo_ch"]  # [slots, 12*L]
     n, q_slots = leaf_ids.shape
-    leaf = geo.shape[2]
-    return [geo[c][leaf_ids].reshape(n, q_slots * leaf) for c in range(12)]
+    return geo[leaf_ids].reshape(n, q_slots * geo.shape[1])
 
 
 def _act_bits(leaf_act):
@@ -511,9 +537,9 @@ def _act_bits(leaf_act):
 def sweep_closest(scene_arrays, cluster_leaf, leaf_ids, leaf_act, origin, direction, state):
     """Fused closest-hit sweep of the collected leaves. ``leaf_ids``
     [N, Q] (clamped), ``leaf_act`` [N, Q] bool."""
-    chans = _gather_channels(scene_arrays, leaf_ids)
+    sheet = _gather_sheet(scene_arrays, leaf_ids)
     t, kind, idx, u, v = _sweep_call(
-        chans, origin, direction, _act_bits(leaf_act),
+        sheet, origin, direction, _act_bits(leaf_act),
         [state["t"], state["kind"], state["idx"], state["u"], state["v"]],
         q_slots=leaf_ids.shape[1], leaf=cluster_leaf, shadow=False,
         interpret=_interpret(),
@@ -522,9 +548,9 @@ def sweep_closest(scene_arrays, cluster_leaf, leaf_ids, leaf_act, origin, direct
 
 
 def sweep_shadow(scene_arrays, cluster_leaf, leaf_ids, leaf_act, origin, direction, state):
-    chans = _gather_channels(scene_arrays, leaf_ids)
+    sheet = _gather_sheet(scene_arrays, leaf_ids)
     (t,) = _sweep_call(
-        chans, origin, direction, _act_bits(leaf_act), [state["t"]],
+        sheet, origin, direction, _act_bits(leaf_act), [state["t"]],
         q_slots=leaf_ids.shape[1], leaf=cluster_leaf, shadow=True,
         interpret=_interpret(),
     )
@@ -548,3 +574,255 @@ def walk_collect(rows_pad, origin, direction, t, m0, m1, m2, cur1, cur2, ph0, ph
     m0, m1, m2, cur1, cur2, ph = out[:6]
     leaf_ids = jnp.stack(out[6:], axis=1)
     return m0, m1, m2, cur1, cur2, (ph & 2) != 0, (ph & 4) != 0, leaf_ids
+
+
+# --- distance-estimator march kernel ----------------------------------------
+#
+# The DE sphere-trace (tracer._intersect_de) is a ~30-200-iteration
+# while_loop whose body is one estimator eval (~750 fused flops for a
+# 25-iteration quaternion julia). In XLA every march step pays the
+# per-iteration dispatch overhead at full wavefront width — the dominant
+# cost of DE scenes (cornell/snowflake BDPT traces march 1M+ lanes per
+# bounce). Here the whole march runs on-chip: one kernel launch per march,
+# each step pure VPU math. Estimator parameters are static (baked per
+# scene shape); the kernel is cached per parameter set.
+
+MARCH_BLOCK = 1024
+
+
+def _de_step_mandelbulb(est):
+    iterations = est["iterations"]
+    threshold = est["threshold"]
+    power = est["power"]
+    constant = est["constant"]
+    dc = 1.0 if constant is None else 0.0
+
+    def distance(px, py, pz):
+        zx, zy, zz = px, py, pz
+        r = jnp.zeros_like(px)
+        dr = jnp.ones_like(px)
+        done = jnp.zeros_like(px, jnp.int32)
+        cx, cy, cz = (
+            (px, py, pz) if constant is None else
+            (constant[0], constant[1], constant[2])
+        )
+        for _ in range(iterations):
+            r_new = jnp.sqrt(jnp.maximum(zx * zx + zy * zy + zz * zz, 1e-30))
+            done_now = done | (r_new > threshold).astype(jnp.int32)
+            theta = jnp.arccos(jnp.clip(zz / r_new, -1.0, 1.0)) * power
+            phi = jnp.arctan2(zy, zx) * power
+            dr_new = r_new ** (power - 1.0) * power * dr + dc
+            zr = r_new ** power
+            st = jnp.sin(theta)
+            nx = st * jnp.cos(phi) * zr + cx
+            ny = jnp.sin(phi) * st * zr + cy
+            nz = jnp.cos(theta) * zr + cz
+            keep = done_now == 0
+            zx = jnp.where(keep, nx, zx)
+            zy = jnp.where(keep, ny, zy)
+            zz = jnp.where(keep, nz, zz)
+            r = jnp.where(done != 0, r, r_new)
+            dr = jnp.where(keep, dr_new, dr)
+            done = done_now
+        return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dr
+
+    return distance
+
+
+def _de_step_julia(est):
+    iterations = est["iterations"]
+    threshold = est["threshold"]
+    constant = est["constant"]
+    variant = est["variant"]
+    slice_plane = est["slice_plane"]
+
+    def qmul(a, b):
+        s1, x1, y1, z1 = a
+        s2, x2, y2, z2 = b
+        return (
+            s1 * s2 - x1 * x2 - y1 * y2 - z1 * z2,
+            s1 * x2 + x1 * s2 + y1 * z2 - z1 * y2,
+            s1 * y2 - x1 * z2 + y1 * s2 + z1 * x2,
+            s1 * z2 + x1 * y2 - y1 * x2 + z1 * s2,
+        )
+
+    def bmul(a, b):
+        x1, y1, z1, w1 = a
+        x2, y2, z2, w2 = b
+        return (
+            x1 * x2 - y1 * y2 - z1 * z2 + w1 * w2,
+            x1 * y2 + y1 * x2 - z1 * w2 - w1 * z2,
+            x1 * z2 - y1 * w2 + z1 * x2 - w1 * y2,
+            x1 * w2 + y1 * z2 + z1 * y2 + w1 * x2,
+        )
+
+    def scale(q, f):
+        return tuple(c * f for c in q)
+
+    if variant == "regular":
+        pow_fn = lambda z: qmul(z, z)
+        pow_prim = lambda z, dz: scale(qmul(dz, z), 2.0)
+    elif variant == "cubic":
+        pow_fn = lambda z: qmul(qmul(z, z), z)
+        pow_prim = lambda z, dz: scale(qmul(qmul(dz, z), z), 3.0)
+    else:
+        pow_fn = lambda z: bmul(z, z)
+        pow_prim = lambda z, dz: scale(bmul(bmul(dz, z), z), 2.0)
+
+    def distance(px, py, pz):
+        z = (px, py, pz, jnp.full_like(px, slice_plane))
+        dz = (
+            jnp.ones_like(px), jnp.zeros_like(px),
+            jnp.zeros_like(px), jnp.zeros_like(px),
+        )
+        r = jnp.zeros_like(px)
+        done = jnp.zeros_like(px, jnp.int32)
+        for _ in range(iterations):
+            r_new = jnp.sqrt(
+                jnp.maximum(sum(c * c for c in z), 1e-30)
+            )
+            done_now = done | (r_new > threshold).astype(jnp.int32)
+            dz_new = pow_prim(z, dz)
+            zp = pow_fn(z)
+            z_new = tuple(c + k for c, k in zip(zp, constant))
+            keep = done_now == 0
+            z = tuple(jnp.where(keep, n, o) for n, o in zip(z_new, z))
+            dz = tuple(jnp.where(keep, n, o) for n, o in zip(dz_new, dz))
+            r = jnp.where(done != 0, r, r_new)
+            done = done_now
+        dz_mag = jnp.sqrt(jnp.maximum(sum(c * c for c in dz), 1e-30))
+        return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dz_mag
+
+    return distance
+
+
+_DIST_EPS = 1e-4
+
+
+def _make_march_kernel(est_key, est, max_steps):
+    del est_key
+    distance = (
+        _de_step_mandelbulb(est)
+        if est["kind"] == "mandelbulb"
+        else _de_step_julia(est)
+    )
+
+    def kernel(
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        t0_ref, tmax_ref, hit_ref,
+        o_total, o_dist,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tmax = tmax_ref[:]
+        hit = hit_ref[:]
+
+        def cond(c):
+            total, dist, steps = c
+            active = (
+                (total < tmax)
+                & (dist >= _DIST_EPS)
+                & (steps < max_steps)
+                & (hit != 0)
+            )
+            return jnp.any(active)
+
+        def body(c):
+            total, dist, steps = c
+            active = (total < tmax) & (dist >= _DIST_EPS) & (hit != 0)
+            px = ox + dx * total
+            py = oy + dy * total
+            pz = oz + dz * total
+            d = distance(px, py, pz)
+            return (
+                jnp.where(active, total + d, total),
+                jnp.where(active, d, dist),
+                steps + 1,
+            )
+
+        total0 = t0_ref[:]
+        dist0 = jnp.full_like(total0, 1e30)
+        total, dist, _ = jax.lax.while_loop(
+            cond, body, (total0, dist0, jnp.int32(0))
+        )
+        o_total[:] = total
+        o_dist[:] = dist
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("est_key", "max_steps", "interpret")
+)
+def _march_call(local_origin, direction, t0, tmax, hit, *, est_key, max_steps, interpret=False):
+    """est_key: hashable static encoding of the estimator parameters (the
+    kernel is specialized and cached per scene shape)."""
+    from jax.experimental import pallas as pl
+
+    est = dict(est_key)
+    if est.get("constant") is not None:
+        est["constant"] = tuple(est["constant"])
+
+    n = local_origin.shape[0]
+    block = MARCH_BLOCK
+    pad = (-n) % block
+    if pad:
+        local_origin = jnp.concatenate([local_origin, jnp.zeros((pad, 3))])
+        direction = jnp.concatenate([direction, jnp.ones((pad, 3))])
+        t0 = jnp.concatenate([t0, jnp.zeros(pad)])
+        tmax = jnp.concatenate([tmax, jnp.zeros(pad)])
+        hit = jnp.concatenate([hit, jnp.zeros(pad, hit.dtype)])
+    np_ = n + pad
+
+    lane = pl.BlockSpec((block,), lambda i: (i,))
+    out = pl.pallas_call(
+        _make_march_kernel(None, est, max_steps),
+        grid=(np_ // block,),
+        in_specs=[lane] * 9,
+        out_specs=[lane] * 2,
+        out_shape=[jax.ShapeDtypeStruct((np_,), jnp.float32)] * 2,
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(
+        local_origin[:, 0], local_origin[:, 1], local_origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        t0, tmax, hit,
+    )
+    if pad:
+        out = [x[:n] for x in out]
+    return tuple(out)
+
+
+def march_enabled() -> bool:
+    """The fused DE march is a pure win (no gathers, no sheet traffic):
+    enabled on TPU by default; PYRITE_TPU_PALLAS=0 disables all kernels,
+    =interpret runs everywhere interpreted (tests)."""
+    mode = os.environ.get("PYRITE_TPU_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def estimator_key(est: dict):
+    """Hashable static encoding of a DE shape's estimator parameters."""
+    items = []
+    for k, v in sorted(est.items()):
+        if isinstance(v, (list, tuple, np.ndarray)):
+            items.append((k, tuple(float(x) for x in np.asarray(v).ravel())))
+        else:
+            items.append((k, v))
+    return tuple(items)
+
+
+def march_de(est: dict, local_origin, direction, t0, tmax, hit, max_steps):
+    """Fused sphere-trace march. Returns (total, dist) like the tail state
+    of tracer._intersect_de's while loop."""
+    return _march_call(
+        local_origin, direction, t0,
+        jnp.where(hit, tmax, 0.0),
+        hit.astype(jnp.int32),
+        est_key=estimator_key(est), max_steps=max_steps,
+        interpret=_interpret(),
+    )

@@ -229,6 +229,67 @@ def install(interp):
                 i += 1
         return "".join(out)
 
+    # full Lua 5.1 pattern engine (find/match/gmatch/gsub) — the reference
+    # embeds real Lua (project/mod.rs:35-58 via mlua), so arbitrary user
+    # scenes may use patterns even though the shipped scenes don't
+    from . import patterns as _pat
+
+    def _norm_init(s, init):
+        n = len(s)
+        i = int(init) if init is not None else 1
+        if i < 0:
+            i = max(n + i + 1, 1)
+        elif i == 0:
+            i = 1
+        return i - 1  # 0-based; may equal n (empty-at-end matches allowed)
+
+    def _str_find(s, pattern, init=None, plain=None):
+        start = _norm_init(s, init)
+        if start > len(s):
+            return None
+        if is_truthy(plain):
+            idx = s.find(pattern, start)
+            if idx < 0:
+                return None
+            return (float(idx + 1), float(idx + len(pattern)))
+        found = _pat.pattern_find(s, pattern, start)
+        if found is None:
+            return None
+        b, e, caps = found
+        return tuple([float(b + 1), float(e)] + caps)
+
+    def _str_match(s, pattern, init=None):
+        start = _norm_init(s, init)
+        if start > len(s):
+            return None
+        caps = _pat.pattern_match(s, pattern, start)
+        if caps is None:
+            return None
+        return tuple(caps) if len(caps) > 1 else caps[0]
+
+    def _str_gmatch(s, pattern):
+        it = _pat.pattern_gmatch(s, pattern)
+
+        def iterator(_state=None, _control=None):
+            for caps in it:
+                return tuple(caps) if len(caps) > 1 else caps[0]
+            return None
+
+        return iterator
+
+    def _gsub_call(repl, caps):
+        if isinstance(repl, LuaTable):
+            return repl.get(caps[0])
+        result = interp.call(repl, list(caps))
+        return result[0] if result else None
+
+    def _str_gsub(s, pattern, repl, n=None):
+        new, count = _pat.pattern_gsub(
+            s, pattern, repl,
+            max_n=int(n) if n is not None else None, call=_gsub_call,
+        )
+        return (new, float(count))
+
     string_table = LuaTable()
     for name, fn in {
         "format": _format,
@@ -240,8 +301,10 @@ def install(interp):
         "byte": lambda s, i=None: float(ord(s[int(i or 1) - 1])),
         "char": lambda *cs: "".join(chr(int(c)) for c in cs),
         "reverse": lambda s: s[::-1],
-        "gsub": _gsub_literal,
-        "find": _find_literal,
+        "gsub": _str_gsub,
+        "find": _str_find,
+        "match": _str_match,
+        "gmatch": _str_gmatch,
     }.items():
         string_table.set(name, fn)
     g.set("string", string_table)
@@ -322,15 +385,3 @@ def _str_sub(s, i, j=None):
     return s[i - 1 : j]
 
 
-def _gsub_literal(s, pattern, repl, n=None):
-    # Only plain-text patterns are supported (scene files don't use captures).
-    count = s.count(pattern) if n is None else min(s.count(pattern), int(n))
-    return (s.replace(pattern, repl, count), float(count))
-
-
-def _find_literal(s, pattern, init=None, _plain=None):
-    start = int(init) - 1 if init is not None else 0
-    idx = s.find(pattern, start)
-    if idx < 0:
-        return None
-    return (float(idx + 1), float(idx + len(pattern)))

@@ -53,13 +53,43 @@ CLUSTER_LEAF = 128
 
 
 def cluster_leaf_size(total_prims: int) -> int:
-    """Leaf-cluster size: CLUSTER_LEAF, grown (in steps of 32) for scenes
-    whose leaf count would exceed the wide tree's 4096-slot capacity."""
+    """Leaf-cluster size: CLUSTER_LEAF, grown (in steps of 128 — the Pallas
+    sweep kernel needs 128-divisible leaf tiles) for scenes whose leaf count
+    would exceed the wide tree's 4096-slot capacity."""
     from . import bvh as bvh_mod
 
     capacity = bvh_mod.WIDE_FANOUT ** bvh_mod.WIDE_LEVELS
     needed = -(-total_prims // capacity)
-    return max(CLUSTER_LEAF, -(-needed // 32) * 32)
+    return max(CLUSTER_LEAF, -(-needed // 128) * 128)
+
+
+def pack_wide_clusters_ranges(perm_lo, perm_hi, geo_rows, ranges, leaf_size):
+    """Pack explicit (start, count) perm ranges — the SAH treelet cut — into
+    fixed-capacity clusters and build the wide 16-ary hierarchy over them.
+
+    Same output contract as pack_wide_clusters, but each cluster's AABB is
+    the TIGHT bound of one SAH subtree instead of an arbitrary fixed-size
+    chunk of the DFS order (whose snaking bounds made typical terrain rays
+    visit ~4x more clusters than needed). Partially filled clusters pad with
+    kind = -1 rows that can never intersect."""
+    from . import bvh as bvh_mod
+
+    num_leaves = len(ranges)
+    geo_p = np.zeros((num_leaves, leaf_size, 12), np.float32)
+    geo_p[..., 10] = -1.0
+    leaf_lo = np.full((num_leaves, 3), np.inf, np.float32)
+    leaf_hi = np.full((num_leaves, 3), -np.inf, np.float32)
+    for j, (start, count) in enumerate(ranges):
+        geo_p[j, :count] = geo_rows[start : start + count]
+        leaf_lo[j] = perm_lo[start : start + count].min(axis=0)
+        leaf_hi[j] = perm_hi[start : start + count].max(axis=0)
+    rows, slot_of_leaf = bvh_mod.build_wide_bvh(leaf_lo, leaf_hi)
+
+    slots = int(slot_of_leaf.max()) + 1
+    geo = np.zeros((slots, leaf_size, 12), np.float32)
+    geo[..., 10] = -1.0
+    geo[slot_of_leaf] = geo_p
+    return rows, geo
 
 
 def pack_wide_clusters(perm_lo, perm_hi, geo_rows, leaf_size):
@@ -675,8 +705,19 @@ def build_scene(project_data) -> Scene:
             geo[:, 10] = prim_kind
             geo[:, 11] = prim_ref
             leaf_size = cluster_leaf_size(total_prims)
-            rows, packed_geo = pack_wide_clusters(
-                prim_lo[perm], prim_hi[perm], geo, leaf_size
+            capacity = bvh_mod.WIDE_FANOUT ** bvh_mod.WIDE_LEVELS
+            subtree, start, count = clustered[2], clustered[3], clustered[4]
+            while True:
+                ranges = bvh_mod.treelet_ranges(subtree, start, count, leaf_size)
+                if len(ranges) <= capacity:
+                    break
+                try:
+                    ranges = bvh_mod.merge_ranges(ranges, leaf_size, capacity)
+                    break
+                except ValueError:
+                    leaf_size += 128  # denser clusters until the tree fits
+            rows, packed_geo = pack_wide_clusters_ranges(
+                prim_lo[perm], prim_hi[perm], geo, ranges, leaf_size
             )
             scene.cluster_leaf = leaf_size
             scene.cluster_slots = packed_geo.shape[0]

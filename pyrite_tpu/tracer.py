@@ -224,32 +224,45 @@ def _intersect_de(shape, origin, direction, max_steps):
         )
 
     local_origin = origin - center
-
-    def march(carry):
-        total, dist, steps = carry
-        p = local_origin + direction * total[..., None]
-        d = _de_distance(shape.estimator, p)
-        return total + d, d, steps + 1
-
-    def cond(carry):
-        total, dist, steps = carry
-        active = (total < tmax) & (dist >= DIST_EPSILON) & (steps < max_steps)
-        return jnp.any(active & hit)
-
-    # Masked march: lanes that finish keep their values.
-    def body(carry):
-        total, dist, steps = carry
-        active = (total < tmax) & (dist >= DIST_EPSILON) & hit
-        new_total, new_dist, _ = march((total, dist, steps))
-        return (
-            jnp.where(active, new_total, total),
-            jnp.where(active, new_dist, dist),
-            steps + 1,
-        )
-
     total0 = jnp.where(hit, tmin, jnp.inf)
-    dist0 = jnp.full_like(total0, jnp.inf)
-    total, dist, _ = jax.lax.while_loop(cond, body, (total0, dist0, jnp.int32(0)))
+
+    from . import kernels
+
+    if kernels.march_enabled():
+        # fused sphere trace: the whole ~30-200-step march runs in ONE
+        # kernel launch (each XLA while iteration otherwise pays the
+        # per-dispatch overhead at full wavefront width)
+        total, dist = kernels.march_de(
+            shape.estimator, local_origin, direction, total0, tmax, hit,
+            max_steps,
+        )
+    else:
+        def march(carry):
+            total, dist, steps = carry
+            p = local_origin + direction * total[..., None]
+            d = _de_distance(shape.estimator, p)
+            return total + d, d, steps + 1
+
+        def cond(carry):
+            total, dist, steps = carry
+            active = (total < tmax) & (dist >= DIST_EPSILON) & (steps < max_steps)
+            return jnp.any(active & hit)
+
+        # Masked march: lanes that finish keep their values.
+        def body(carry):
+            total, dist, steps = carry
+            active = (total < tmax) & (dist >= DIST_EPSILON) & hit
+            new_total, new_dist, _ = march((total, dist, steps))
+            return (
+                jnp.where(active, new_total, total),
+                jnp.where(active, new_dist, dist),
+                steps + 1,
+            )
+
+        dist0 = jnp.full_like(total0, jnp.inf)
+        total, dist, _ = jax.lax.while_loop(
+            cond, body, (total0, dist0, jnp.int32(0))
+        )
     ok = hit & (total <= tmax)
     return ok, jnp.where(ok, total, jnp.inf), local_origin
 
@@ -1487,9 +1500,11 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # iteration, and the compaction width (sweep at most n // COMPACT_DIV parked
 # lanes per outer iteration; lanes parked beyond the width wait for the next
 # iteration). Tuned on TPU v5e (327k-tri terrain).
-CLUSTER_WALK_STEPS = 2
-SWEEP_LEAVES = 2
-COMPACT_DIV = 8
+import os as _os
+
+CLUSTER_WALK_STEPS = int(_os.environ.get("PYRITE_TPU_WALK_STEPS", "2"))
+SWEEP_LEAVES = int(_os.environ.get("PYRITE_TPU_SWEEP_LEAVES", "2"))
+COMPACT_DIV = int(_os.environ.get("PYRITE_TPU_COMPACT_DIV", "8"))
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 
 
@@ -1609,9 +1624,10 @@ def _cluster_traverse(
         leaf_act = leaf_ids >= 0
         leaf_ids = jnp.clip(leaf_ids, 0, max_slot)
         any_leaf = jnp.any(leaf_act, axis=1)
-        if "clu_geo_ch" in scene.arrays:
+        if "clu_geo_ch" in scene.arrays and scene.cluster_leaf % 128 == 0:
             # fused sweep: XLA gathers the geometry sheet (native HLO), the
-            # kernel runs every test + winner select as one op
+            # kernel runs every test + winner select as one op (Mosaic needs
+            # 128-divisible leaf tiles; cluster_leaf_size guarantees it)
             sweep_fn = (
                 kernels.sweep_shadow
                 if set(init_state.keys()) == {"t"}

@@ -356,3 +356,72 @@ def test_pallas_walk_matches_xla_walk():
     np.testing.assert_array_equal(
         np.asarray(out["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
     )
+
+
+def test_pallas_march_matches_xla_march():
+    """The fused DE sphere-trace kernel (interpret mode on CPU) must match
+    the XLA while-loop march on a quaternion-julia and a mandelbulb shape."""
+    import os
+
+    import jax.numpy as jnp
+    from pyrite_tpu import tracer
+    from pyrite_tpu.scene import DEShape
+
+    shapes = [
+        DEShape(
+            estimator={
+                "kind": "quaternion_julia",
+                "iterations": 12,
+                "threshold": 4.0,
+                "constant": np.asarray([-0.2, 0.8, 0.0, 0.0], np.float32),
+                "slice_plane": 0.0,
+                "variant": "regular",
+            },
+            bounds_kind="sphere",
+            bounds_a=np.zeros(3, np.float32),
+            bounds_b=np.asarray([1.5, 0, 0], np.float32),
+            material_id=0,
+        ),
+        DEShape(
+            estimator={
+                "kind": "mandelbulb",
+                "iterations": 10,
+                "threshold": 4.0,
+                "power": 8.0,
+                "constant": None,
+            },
+            bounds_kind="sphere",
+            bounds_a=np.zeros(3, np.float32),
+            bounds_b=np.asarray([1.6, 0, 0], np.float32),
+            material_id=0,
+        ),
+    ]
+
+    rng = np.random.default_rng(3)
+    n = 64
+    origins_np = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    # aim at the shape (with jitter) so a healthy fraction of rays hit
+    targets = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+    dirs = targets - origins_np
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True))
+    origins = jnp.asarray(origins_np)
+
+    for shape in shapes:
+        old = os.environ.get("PYRITE_TPU_PALLAS")
+        try:
+            os.environ["PYRITE_TPU_PALLAS"] = "0"
+            ok_x, t_x, _ = tracer._intersect_de(shape, origins, dirs, 128)
+            os.environ["PYRITE_TPU_PALLAS"] = "interpret"
+            ok_p, t_p, _ = tracer._intersect_de(shape, origins, dirs, 128)
+        finally:
+            if old is None:
+                os.environ.pop("PYRITE_TPU_PALLAS", None)
+            else:
+                os.environ["PYRITE_TPU_PALLAS"] = old
+        np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+        np.testing.assert_allclose(
+            np.asarray(t_x)[np.asarray(ok_x)],
+            np.asarray(t_p)[np.asarray(ok_p)],
+            rtol=1e-5, atol=1e-5,
+        )
+        assert int(np.asarray(ok_x).sum()) > 5  # the test actually hits
