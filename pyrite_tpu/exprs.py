@@ -56,6 +56,11 @@ class CompiledProgram:
     output_type: str  # NUMBER or VECTOR
     uses_wavelength: bool
     constant: Optional[float] = None  # set when the program is a plain constant
+    # False when the DAG reads only the wavelength (no uv/normal/incident):
+    # such programs are pure functions of lambda and can be baked into a
+    # shared [P, G] bank table (scene.bake_bank_tables) so material-heavy
+    # scenes evaluate the whole bank with one gather instead of O(P) loops
+    uses_ray_inputs: bool = False
 
     def __call__(self, inputs: ProgramInputs) -> jnp.ndarray:
         return self.fn(inputs)
@@ -270,8 +275,11 @@ def compile_program(
             constant=expr,
         )
 
-    # Static pass for wavelength usage of the *output* value.
+    # Static passes: wavelength usage of the *output* value, and whether any
+    # node reads the per-ray geometry inputs (textures read uv, fresnel reads
+    # normal/incident) — lambda-only programs are bank-table bakeable.
     uses_wl = _expr_uses_wavelength(expr, output_type)
+    uses_ray = expr_uses_ray_inputs(expr)
     resources.preload(expr)
 
     def fn(inputs: ProgramInputs):
@@ -286,7 +294,30 @@ def compile_program(
             return _rgb_to_vector(value.data)
         return _splat_vector(value)
 
-    return CompiledProgram(fn=fn, output_type=output_type, uses_wavelength=uses_wl)
+    return CompiledProgram(
+        fn=fn, output_type=output_type, uses_wavelength=uses_wl,
+        uses_ray_inputs=uses_ray,
+    )
+
+
+def expr_uses_ray_inputs(expr: ir.Expression) -> bool:
+    """True when any DAG node reads uv (textures) or normal/incident
+    (fresnel) — i.e. the program is NOT a pure function of wavelength."""
+    if isinstance(expr, float):
+        return False
+    seen = set()
+    stack = [expr]
+    while stack:
+        node = stack.pop()
+        if not isinstance(node, ir.ComplexExpression) or id(node) in seen:
+            continue
+        seen.add(id(node))
+        if node.kind in ("color_texture", "mono_texture", "fresnel"):
+            return True
+        for value in node.fields.values():
+            if isinstance(value, ir.ComplexExpression):
+                stack.append(value)
+    return False
 
 
 def _expr_uses_wavelength(expr: ir.Expression, output_type: str) -> bool:

@@ -79,6 +79,19 @@ def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None, bounces=None) -
             * (1 + cfg.light_samples)
         )
         budget_lanes = min(budget_lanes, max(film.width, budget // per_lane))
+    if bounces is not None and cfg is not None and not scene.use_clusters:
+        # survivor-pool sizing: the flush launches run at POOL_FACTOR x the
+        # chunk width with the NEE shadow batch flattened to (1+ls) x that,
+        # and the dense sweep materializes [lanes, prims] f32 intermediates —
+        # bound that flush footprint or deep scenes OOM HBM (diamonds at a
+        # full-film chunk compiled 3 GB temps x ~8 live buffers)
+        flush_elems = 200_000_000
+        per_lane = (
+            POOL_FACTOR
+            * (1 + cfg.light_samples)
+            * max(scene.num_primitives, 1)
+        )
+        budget_lanes = min(budget_lanes, max(film.width, flush_elems // per_lane))
     rows = max(1, min(film.height, budget_lanes // film.width))
     while film.height % rows != 0:
         rows -= 1

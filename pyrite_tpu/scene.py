@@ -248,6 +248,12 @@ class Scene:
         self.use_clusters = False
         self.cluster_leaf = 0
         self.cluster_slots = 0
+        # bank-table state (bake_bank_tables): per-program bakeable flags, or
+        # None when the bank is small enough that the exact per-program loop
+        # is both faster and byte-identical to the reference's evaluation
+        self.color_bank_bakeable = None
+        self.prob_bank_bakeable = None
+        self.bank_span = (380.0, 780.0)
 
     @property
     def num_primitives(self):
@@ -805,7 +811,67 @@ def build_scene(project_data) -> Scene:
         if lamp_type[i] == LAMP_DIRECTIONAL
     ]
 
+    bake_bank_tables(scene, project.renderer.spectrum_span)
     return scene
+
+
+# Program banks switch from the exact per-program masked loop (O(P) evals
+# per bounce — fine for the reference scenes' <=10 programs) to one shared
+# interpolation table once this many lambda-only programs exist.
+BANK_TABLE_MIN = 8
+BANK_GRID = 4096  # ~0.1 nm spacing over a 400 nm span
+
+
+def bake_bank_tables(scene: Scene, span) -> None:
+    """Bake lambda-only color/probability programs into [P, BANK_GRID]
+    lookup tables (linear interpolation at eval time).
+
+    The reference evaluates the hit material's program per thread — O(1)
+    per ray (program/execution_context.rs). The wavefront bank loop
+    (tracer.eval_color_bank) is O(P) per ray; for material-heavy scenes the
+    table turns that into one flat gather + lerp regardless of P. Programs
+    that read uv/normal/incident (textures, fresnel) stay on the loop path;
+    tables only activate when >= BANK_TABLE_MIN lambda-only programs exist,
+    so small scenes keep exact (non-interpolated) evaluation."""
+    import contextlib as _ctx
+
+    import jax
+    import jax.numpy as jnp
+
+    lam = np.linspace(span[0], span[1], BANK_GRID).astype(np.float32)
+
+    def bake(progs, key):
+        bakeable = [not p.uses_ray_inputs for p in progs]
+        if sum(bakeable) < BANK_TABLE_MIN:
+            return None
+        table = np.zeros((len(progs), BANK_GRID), np.float32)
+        # evaluate on the host CPU backend: un-jitted per-op dispatch
+        # through the TPU tunnel costs ~25 ms/op
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = _ctx.nullcontext()
+        with ctx:
+            wl = jnp.asarray(lam)
+            for i, (prog, ok) in enumerate(zip(progs, bakeable)):
+                if not ok:
+                    continue
+                if prog.constant is not None:
+                    table[i, :] = prog.constant
+                else:
+                    table[i, :] = np.broadcast_to(
+                        np.asarray(
+                            prog.fn(exprs.ProgramInputs(wavelength=wl)),
+                            np.float32,
+                        ),
+                        (BANK_GRID,),
+                    )
+        scene.arrays[key] = table
+        return bakeable
+
+    scene.color_bank_bakeable = bake(scene.color_programs, "color_bank")
+    scene.prob_bank_bakeable = bake(scene.prob_programs, "prob_bank")
+    scene.bank_span = (float(span[0]), float(span[1]))
 
 
 @dataclass

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import bvh as bvh_mod
 from . import geometry as geom
@@ -273,6 +274,12 @@ def _intersect_de(shape, origin, direction, max_steps):
 # sweep's [lanes, prims, 3] intermediates stay HBM-safe.
 BRUTE_FORCE_PRIMS = CLUSTER_THRESHOLD
 _BRUTE_CHUNK = 256
+
+# NEE flattening crossover (trace_direct): total flattened lanes at or below
+# this ride the single [N*ls] mega-batch (dispatch-floor regime); above it
+# the serial per-sample loop wins — measured on axon, the lamp-sample +
+# program-bank chain runs ~5x slower per byte past ~0.5M lanes
+NEE_FLATTEN_LANES = 262144
 
 
 def _brute_force_triangles(scene, origin, direction, best):
@@ -558,10 +565,45 @@ def surface_data(scene: Scene, hit, origin, direction, cfg: TraceConfig):
 # =============================================================================
 
 
+def _bank_table_eval(table, span, prog_id, wavelength):
+    """Linear interpolation of the baked [P, G] bank table at each lane's
+    wavelengths: one flat gather pair + lerp regardless of how many programs
+    the scene has (scene.bake_bank_tables)."""
+    g = table.shape[1]
+    lo, hi = span
+    pos = jnp.clip((wavelength - lo) * ((g - 1) / (hi - lo)), 0.0, g - 1.0)
+    i0 = jnp.minimum(pos.astype(jnp.int32), g - 2)
+    frac = pos - i0.astype(jnp.float32)
+    base = jnp.maximum(prog_id, 0)[:, None] * g + i0
+    flat = table.reshape(-1)
+    v0 = flat[base]
+    v1 = flat[base + 1]
+    return v0 + (v1 - v0) * frac
+
+
 def eval_color_bank(scene: Scene, prog_id, inputs: ProgramInputs, active=None):
-    """Evaluate per-ray color programs: out[i] = program[prog_id[i]](inputs)."""
+    """Evaluate per-ray color programs: out[i] = program[prog_id[i]](inputs).
+
+    Lambda-only programs ride the baked bank table when the scene has many
+    (one gather instead of an O(P) masked loop — the reference evaluates the
+    hit material's program per thread, execution_context.rs, so its cost
+    never scales with the program count); uv/normal-dependent programs
+    (textures, fresnel) always evaluate exactly via the loop."""
     out = jnp.zeros(inputs.wavelength.shape)
+    baked = scene.color_bank_bakeable
+    if baked is not None:
+        val = _bank_table_eval(
+            scene.arrays["color_bank"], scene.bank_span, prog_id,
+            inputs.wavelength,
+        )
+        in_table = jnp.asarray(np.asarray(baked))[jnp.maximum(prog_id, 0)]
+        mask = in_table & (prog_id >= 0)
+        if active is not None:
+            mask &= active
+        out = out + jnp.where(mask[:, None], val, 0.0)
     for p, prog in enumerate(scene.color_programs):
+        if baked is not None and baked[p]:
+            continue
         mask = prog_id == p
         if active is not None:
             mask &= active
@@ -580,7 +622,20 @@ def eval_prob_bank(scene: Scene, prog_id, inputs: ProgramInputs, active=None):
         incident=inputs.incident,
         uv=inputs.uv,
     )
+    baked = scene.prob_bank_bakeable
+    if baked is not None:
+        val = _bank_table_eval(
+            scene.arrays["prob_bank"], scene.bank_span, prog_id,
+            hero_inputs.wavelength,
+        )[:, 0]
+        mask = jnp.asarray(np.asarray(baked))[jnp.maximum(prog_id, 0)]
+        mask &= prog_id >= 0
+        if active is not None:
+            mask &= active
+        out = jnp.where(mask, val, out)
     for p, prog in enumerate(scene.prob_programs):
+        if baked is not None and baked[p]:
+            continue
         mask = prog_id == p
         if active is not None:
             mask &= active
@@ -880,11 +935,14 @@ def trace_direct(
     Returns brightness delta [N, S]. ``reflectance`` is the throughput
     *after* the surface color multiply, matching contribute()'s ordering.
 
-    All ``light_samples`` samples are flattened into ONE [N*ls] batch so the
-    shadow query (and on DE scenes the sphere-trace march) runs once per
-    bounce instead of ls serial times — the reference's per-thread loop
-    (tracer.rs:362-399) has no such cost structure, but per-op overhead on
-    the wavefront machine makes serial sample loops the dominant cost."""
+    Width-adaptive batching: narrow wavefronts (pooled flush chunks, tails)
+    flatten all ``light_samples`` into ONE [N*ls] batch so the shadow query
+    runs once per bounce instead of ls serial times (per-op dispatch floor,
+    CLAUDE.md); wide wavefronts keep the serial per-sample loop — measured
+    on axon, sample_lamp + the program banks run ~5x slower per byte past
+    ~0.5M lanes, so flattening a 262k-lane batch to 1M cost 8.2 -> 39 ms.
+    Both paths use identical PRNG draws (k_s = fold_in(key, s)), so results
+    are bit-identical. Reference semantics: tracer.rs:362-399."""
     n = position.shape[0]
     s_count = reflectance.shape[1]
     delta = jnp.zeros_like(reflectance)
@@ -899,8 +957,22 @@ def trace_direct(
 
     flip = jnp.where((geom.dot(ray_in, normal) < 0.0)[:, None], normal, -normal)
 
-    # identical PRNG draws to the per-sample loop (k_s = fold_in(key, s)),
-    # stacked then flattened to the [ls*N] mega-batch
+    if n * ls > NEE_FLATTEN_LANES:
+        # wide wavefront: serial per-sample loop (each pass is already far
+        # above the dispatch floor; flattening would cross the slow-gather
+        # width and lose ~5x)
+        for s in range(ls):
+            k_s = jax.random.fold_in(key, s)
+            u = jax.random.uniform(k_s, (n, 4))
+            u_emis = jax.random.uniform(jax.random.fold_in(k_s, 1), (n,))
+            delta = delta + _direct_sample(
+                scene, cfg, probability, active, position, flip,
+                wavelengths, reflectance, aux_alive, lamp_idx, u, u_emis,
+            )
+        return delta
+
+    # narrow wavefront: stack the identical per-sample draws into the
+    # [ls*N] mega-batch and run every stage once
     u = jnp.concatenate(
         [jax.random.uniform(jax.random.fold_in(key, s), (n, 4)) for s in range(ls)],
         axis=0,
@@ -914,15 +986,26 @@ def trace_direct(
     )
 
     tile = lambda x: jnp.concatenate([x] * ls, axis=0)
-    position_f = tile(position)
-    flip_f = tile(flip)
-    wavelengths_f = tile(wavelengths)
-    lamp_idx_f = tile(lamp_idx)
+    contrib = _direct_sample(
+        scene, cfg, probability, tile(active), tile(position), tile(flip),
+        tile(wavelengths), tile(reflectance), tile(aux_alive),
+        tile(lamp_idx), u, u_emis,
+    )
+    return delta + jnp.sum(contrib.reshape(ls, n, s_count), axis=0)
 
+
+def _direct_sample(
+    scene, cfg, probability, active, position_f, flip_f, wavelengths_f,
+    reflectance_f, aux_alive_f, lamp_idx_f, u, u_emis,
+):
+    """One NEE sample batch at arbitrary width: lamp sample -> shadow ->
+    emissive component -> program banks -> masked contribution [W, S]."""
+    w = position_f.shape[0]
+    s_count = reflectance_f.shape[1]
     samp = sample_lamp(scene, lamp_idx_f, position_f, u)
 
     cos_out = jnp.maximum(geom.dot(flip_f, samp["direction"]), 0.0)
-    contributes = tile(active) & (cos_out > 0.0)
+    contributes = active & (cos_out > 0.0)
 
     # shadow rays, pruned at the lamp distance with any-hit early exit
     # below the caller's own occlusion bound
@@ -969,23 +1052,20 @@ def trace_direct(
     scale = samp["weight"] * probability * brdf
     l_prob = scale * mat_prob
 
-    contrib = l_color * l_prob[:, None] * tile(reflectance)
+    contrib = l_color * l_prob[:, None] * reflectance_f
     # hero always contributes; auxiliaries only while alive and when the
     # lamp's material probability didn't read the wavelength
     col_mask = jnp.concatenate(
         [
-            jnp.ones((ls * n, 1), bool),
+            jnp.ones((w, 1), bool),
             jnp.broadcast_to(
-                (tile(aux_alive) & ~l_dispersed)[:, None],
-                (ls * n, s_count - 1),
+                (aux_alive_f & ~l_dispersed)[:, None],
+                (w, s_count - 1),
             ),
         ],
         axis=1,
     )
-    contrib = jnp.where(contributes[:, None] & col_mask, contrib, 0.0)
-    delta = delta + jnp.sum(contrib.reshape(ls, n, s_count), axis=0)
-
-    return delta
+    return jnp.where(contributes[:, None] & col_mask, contrib, 0.0)
 
 
 # =============================================================================

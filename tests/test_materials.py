@@ -96,3 +96,71 @@ def test_mix_amount_expression_clamped():
     assert rhs_prob.fields["operator"] == "sub"
     assert rhs_prob.fields["lhs"] == 1.0
     assert rhs_prob.fields["rhs"] is lhs_prob
+
+
+def test_bank_table_matches_exact_eval():
+    """Material-heavy scenes bake lambda-only programs into one [P, G]
+    interpolation table (scene.bake_bank_tables); the table path must match
+    direct per-program evaluation to interpolation accuracy, and ray-input
+    programs must keep the exact loop path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyrite_tpu import exprs, scene as scene_mod, tracer
+    from pyrite_tpu.project import ir
+
+    sc = scene_mod.Scene()
+    sc.resources = exprs.Resources()
+
+    rng = np.random.default_rng(11)
+    for i in range(10):
+        if i % 3 == 0:
+            expr = ir.ComplexExpression(
+                "rgb",
+                {"red": float(rng.uniform()), "green": float(rng.uniform()),
+                 "blue": float(rng.uniform())},
+            )
+        elif i % 3 == 1:
+            pts = np.clip(rng.uniform(0, 1, 6), 0, 1)
+            expr = ir.ComplexExpression(
+                "spectrum",
+                {"spectrum": ir.SpectrumIR(
+                    format="array", min=400.0, max=740.0, points=list(pts)
+                )},
+            )
+        else:
+            expr = ir.ComplexExpression(
+                "binary",
+                {"operator": "mul", "lhs": float(0.3 + 0.1 * i),
+                 "rhs": ir.ComplexExpression("blackbody", {"temperature": 5500.0 + 100 * i})},
+            )
+        sc.color_programs.append(exprs.compile_program(expr, sc.resources, exprs.NUMBER))
+
+    scene_mod.bake_bank_tables(sc, (380.0, 780.0))
+    assert sc.color_bank_bakeable is not None and all(sc.color_bank_bakeable)
+
+    n, s = 64, 4
+    wl = jnp.asarray(rng.uniform(380.0, 780.0, (n, s)).astype(np.float32))
+    prog_id = jnp.asarray(rng.integers(0, 10, n).astype(np.int32))
+    inputs = exprs.ProgramInputs(wavelength=wl)
+
+    got = np.asarray(tracer.eval_color_bank(sc, prog_id, inputs))
+
+    want = np.zeros((n, s), np.float32)
+    for p, prog in enumerate(sc.color_programs):
+        val = np.broadcast_to(np.asarray(prog(inputs)), (n, s))
+        want = np.where((np.asarray(prog_id) == p)[:, None], val, want)
+
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    # below the threshold no table is built (exact path preserved)
+    small = scene_mod.Scene()
+    small.resources = exprs.Resources()
+    for i in range(3):
+        small.color_programs.append(
+            exprs.compile_program(float(i + 1), small.resources, exprs.NUMBER)
+        )
+    scene_mod.bake_bank_tables(small, (380.0, 780.0))
+    assert small.color_bank_bakeable is None
+    assert "color_bank" not in small.arrays
