@@ -79,19 +79,6 @@ def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None, bounces=None) -
             * (1 + cfg.light_samples)
         )
         budget_lanes = min(budget_lanes, max(film.width, budget // per_lane))
-    if bounces is not None and cfg is not None and not scene.use_clusters:
-        # survivor-pool sizing: the flush launches run at POOL_FACTOR x the
-        # chunk width with the NEE shadow batch flattened to (1+ls) x that,
-        # and the dense sweep materializes [lanes, prims] f32 intermediates —
-        # bound that flush footprint or deep scenes OOM HBM (diamonds at a
-        # full-film chunk compiled 3 GB temps x ~8 live buffers)
-        flush_elems = 200_000_000
-        per_lane = (
-            POOL_FACTOR
-            * (1 + cfg.light_samples)
-            * max(scene.num_primitives, 1)
-        )
-        budget_lanes = min(budget_lanes, max(film.width, flush_elems // per_lane))
     rows = max(1, min(film.height, budget_lanes // film.width))
     while film.height % rows != 0:
         rows -= 1
@@ -503,6 +490,21 @@ def _render_pooled(
         key_counter[0] += 1
         return jax.random.fold_in(flush_base, key_counter[0])
 
+    # Flush HBM bound: continuation launches materialize dense-sweep
+    # [lanes, prims] x (1 + light_samples) f32 intermediates; at the full
+    # POOL_FACTOR x chunk pool width that compiled ~25 GB of temps on
+    # diamonds and OOMed. Flushing the pool in fixed-width SEGMENTS (host
+    # slices of the pool arrays, each run down its own ladder) bounds the
+    # footprint without shrinking the stage chunks (which cost ~17% of
+    # diamonds throughput when pick_rows capped them instead) — segments
+    # share one set of shape-specialized jits.
+    pool_n = POOL_FACTOR * capacity
+    per_lane = (1 + cfg.light_samples) * max(scene.num_primitives, 1)
+    seg_target = max(film.width, 200_000_000 // per_lane)
+    flush_segs = 1
+    while flush_segs < POOL_FACTOR and pool_n // flush_segs > seg_target:
+        flush_segs *= 2
+
     def flush(acc, wt, pool, fill):
         """Run the pool to completion down a shrinking width ladder: after
         each continuation launch, if the survivors fit a 4x narrower pool,
@@ -511,20 +513,27 @@ def _render_pooled(
         narrow width instead of the full pool's."""
         if fill == 0:
             return acc, wt, pool
-        count = fill
-        for steps in flush_plan:
-            pool, n_alive = flush_fns[steps](pool, next_key(), data)
-            count = int(n_alive)
-            if count == 0:
-                break
-            width = pool["valid"].shape[0]
-            while width >= 2048 and count <= width // 4:
-                width_to = width // 4
-                if width_to not in shrink_fns:
-                    shrink_fns[width_to] = make_shrink(width_to)
-                acc, wt, pool = shrink_fns[width_to](acc, wt, pool, data)
-                width = width_to
-        acc, wt = expose_pool(acc, wt, pool)
+        seg_n = pool_n // flush_segs
+        for g in range(flush_segs):
+            if g * seg_n >= fill:
+                break  # later segments were never written this cycle
+            seg = jax.tree_util.tree_map(
+                lambda x: x[g * seg_n : (g + 1) * seg_n], pool
+            )
+            count = fill - g * seg_n
+            for steps in flush_plan:
+                seg, n_alive = flush_fns[steps](seg, next_key(), data)
+                count = int(n_alive)
+                if count == 0:
+                    break
+                width = seg["valid"].shape[0]
+                while width >= 2048 and count <= width // 4:
+                    width_to = width // 4
+                    if width_to not in shrink_fns:
+                        shrink_fns[width_to] = make_shrink(width_to)
+                    acc, wt, seg = shrink_fns[width_to](acc, wt, seg, data)
+                    width = width_to
+            acc, wt = expose_pool(acc, wt, seg)
         return acc, wt, empty_pool()
 
     # the pool holds POOL_FACTOR x a chunk's lanes; flushing whenever the

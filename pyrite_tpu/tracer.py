@@ -565,6 +565,17 @@ def surface_data(scene: Scene, hit, origin, direction, cfg: TraceConfig):
 # =============================================================================
 
 
+# NOTE (measured, do not re-add): a per-launch cache of lambda-only program
+# values ("evaluate each spectrum-curve program once before the bounce
+# while_loop, reuse as a loop invariant") HALVED spheres throughput on axon
+# (62.6 -> 31.5 live Mrays/s) despite cutting jaxpr eqns ~30%. XLA already
+# fuses the elementwise program evaluations into their consumers for ~free;
+# materializing them as [N, S] while-loop invariants costs real HBM traffic
+# every iteration and breaks fusion. Recompute-in-fusion beats memoized
+# buffers for elementwise chains; jaxpr eqn count is not a proxy for
+# post-fusion op count.
+
+
 def _bank_table_eval(table, span, prog_id, wavelength):
     """Linear interpolation of the baked [P, G] bank table at each lane's
     wavelengths: one flat gather pair + lerp regardless of how many programs
@@ -1073,6 +1084,27 @@ def _direct_sample(
 # =============================================================================
 
 
+# Compaction-ladder knobs (trace_paths): after LADDER_HEAD full-width
+# bounces, survivors are stream-compacted to the front and the remaining
+# bounces run over LADDER_DIV width-1/DIV chunks, each a while_loop with
+# whole-batch early exit; a lax.cond falls back to the full-width tail when
+# more than 5/8 of lanes survive the head (enclosed scenes like cornell).
+#
+# DEFAULT OFF (LADDER_DIV=1): measured on axon, the compaction itself is the
+# bottleneck — permuting the ~11 state arrays through a [524k] argsort costs
+# ~300 ms (row gathers at arbitrary indices are catastrophically slow on
+# this backend; cumsum+scatter compaction measured 384 ms), an order of
+# magnitude more than the masked dead-lane work it saves (~60 ms). Spheres
+# bench with the ladder ON: 42.2 live Mrays/s vs 63.5 OFF. Kept behind env
+# knobs for narrower-width experiments; test coverage in
+# tests/test_renderers.py::test_compaction_ladder_matches_flat.
+import os as _os_l
+
+LADDER_HEAD = int(_os_l.environ.get("PYRITE_TPU_LADDER_HEAD", "2"))
+LADDER_DIV = int(_os_l.environ.get("PYRITE_TPU_LADDER_DIV", "1"))
+LADDER_MIN_LANES = int(_os_l.environ.get("PYRITE_TPU_LADDER_MIN", "65536"))
+
+
 def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, wavelengths):
     """Trace a wavefront to completion and return per-sample radiance.
 
@@ -1097,19 +1129,64 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
     # entirely instead of executing masked no-op work. The reference's
     # per-thread loop gets this for free (tracer.rs:208); a fixed lax.scan
     # would not.
-    def cond(carry):
-        i, state = carry
-        return (i < cfg.bounces) & jnp.any(state["alive"])
+    def tail(state, wl, start):
+        def cond(carry):
+            i, st = carry
+            return (i < cfg.bounces) & jnp.any(st["alive"])
 
-    def body(carry):
-        i, state = carry
-        new_state, _ = bounce_core(
+        def body(carry):
+            i, st = carry
+            new_st, _ = bounce_core(
+                scene, cfg, wl, st, jax.random.fold_in(key, i)
+            )
+            return i + 1, new_st
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(start), state))
+        return st
+
+    head, div = LADDER_HEAD, LADDER_DIV
+    use_ladder = (
+        div > 1
+        and n % div == 0
+        and n >= LADDER_MIN_LANES
+        and cfg.bounces >= head + 2
+    )
+    if not use_ladder:
+        state = tail(state, wavelengths, 0)
+        return state["brightness"], state["aux_alive"]
+
+    for i in range(head):
+        state, _ = bounce_core(
             scene, cfg, wavelengths, state, jax.random.fold_in(key, i)
         )
-        return i + 1, new_state
 
-    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-    return state["brightness"], state["aux_alive"]
+    # stable stream compaction: live lanes first, original relative order
+    alive = state["alive"]
+    perm = jnp.argsort(jnp.where(alive, 0, 1).astype(jnp.int32))
+    state = {k: v[perm] for k, v in state.items()}
+    wl_perm = wavelengths[perm]
+    n_alive = jnp.sum(alive)
+
+    def chunked(args):
+        st, wl = args
+        m = n // div
+        outs = []
+        for c in range(div):
+            sl = slice(c * m, (c + 1) * m)
+            sub = tail({k: v[sl] for k, v in st.items()}, wl[sl], head)
+            outs.append(sub)
+        return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def flat(args):
+        st, wl = args
+        return tail(st, wl, head)
+
+    state = jax.lax.cond(
+        n_alive <= (n * 5) // 8, chunked, flat, (state, wl_perm)
+    )
+    # scatter results back to original lane order
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    return state["brightness"][inv], state["aux_alive"][inv]
 
 
 def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
@@ -1585,6 +1662,9 @@ import os as _os
 CLUSTER_WALK_STEPS = int(_os.environ.get("PYRITE_TPU_WALK_STEPS", "2"))
 SWEEP_LEAVES = int(_os.environ.get("PYRITE_TPU_SWEEP_LEAVES", "2"))
 COMPACT_DIV = int(_os.environ.get("PYRITE_TPU_COMPACT_DIV", "8"))
+# pending-leaf registers per lane (1 = classic walk; 2 = a lane keeps
+# walking while one cluster's leaves await their sweep)
+CLUSTER_PENDING_REGS = int(_os.environ.get("PYRITE_TPU_PENDING_REGS", "2"))
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 
 
@@ -1684,11 +1764,14 @@ def _cluster_traverse(
     ph0 = _axis_sign(jnp.broadcast_to(root, (n, 128)), direction)
     zeros = jnp.zeros(n, jnp.int32)
     false = jnp.zeros(n, bool)
-    carry0 = (m0, zeros, zeros, zeros, zeros, ph0, false, false, init_state)
+    carry0 = (
+        m0, zeros, zeros, zeros, zeros, ph0, false, false,
+        zeros, zeros, false, init_state,
+    )
 
     def outer_cond(carry):
-        m0, m1, m2 = carry[0], carry[1], carry[2]
-        return jnp.any((m0 | m1 | m2) != 0)
+        m0, m1, m2, m2b = carry[0], carry[1], carry[2], carry[8]
+        return jnp.any((m0 | m1 | m2 | m2b) != 0)
 
     def outer_body_pallas(carry):
         """Fused-walk outer round: ONE kernel launch advances every lane
@@ -1696,7 +1779,7 @@ def _cluster_traverse(
         cost machine instructions, not ~0.37 ms XLA dispatch rounds), then
         ONE masked sweep tests all collected leaves — outer rounds collapse
         from ~33 node-pop iterations to ~ceil(worst-lane leaf visits / Q)."""
-        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state = carry
+        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state = carry
         m0, m1, m2, cur1, cur2, ph1, ph2, leaf_ids = kernels.walk_collect(
             scene.arrays["wide_rows_pad"], origin, direction, state["t"],
             m0, m1, m2, cur1, cur2, ph0, ph1, ph2,
@@ -1727,14 +1810,19 @@ def _cluster_traverse(
             m0 = jnp.where(done, 0, m0)
             m1 = jnp.where(done, 0, m1)
             m2 = jnp.where(done, 0, m2)
-        return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state
+        return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
     def outer_body(carry):
-        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state = carry
+        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state = carry
+        regs2 = CLUSTER_PENDING_REGS >= 2
 
         def pop(_, walk):
-            m0, m1, m2, cur1, cur2, ph0, ph1, ph2 = walk
-            parked = m2 != 0  # re-prune pending leaves with the current t
+            m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b = walk
+            # a lane stalls (parks) only when every pending-leaf register is
+            # full; with the second register a lane can keep walking while
+            # one cluster's leaves await their sweep, halving the worst
+            # lane's walk-bound outer iterations
+            parked = (m2 != 0) & (m2b != 0) if regs2 else (m2 != 0)
             act1 = ~parked & (m1 != 0)  # pop an L2 node from cur1's mask
             act0 = ~parked & (m1 == 0) & (m0 != 0)  # pop an L1 node
             k1, m1_pop = _pop_bit(m1, ph1)
@@ -1747,30 +1835,46 @@ def _cluster_traverse(
             row = rows[row_idx]
             bits = _slab16(row, origin, inv_dir, state["t"])
             sign = _axis_sign(row, direction)
-            m2 = jnp.where(parked, m2 & bits, jnp.where(act1, bits, m2))
-            ph2 = jnp.where(act1, sign, ph2)
-            cur2 = jnp.where(act1, cur1 * 16 + k1, cur2)
+            if regs2:
+                into_a = act1 & (m2 == 0)
+                into_b = act1 & (m2 != 0)
+                m2b = jnp.where(into_b, bits, m2b)
+                ph2b = jnp.where(into_b, sign, ph2b)
+                cur2b = jnp.where(into_b, cur1 * 16 + k1, cur2b)
+            else:
+                into_a = act1
+            # a parked lane re-prunes its pending register-a leaves with the
+            # current best t
+            m2 = jnp.where(parked, m2 & bits, jnp.where(into_a, bits, m2))
+            ph2 = jnp.where(into_a, sign, ph2)
+            cur2 = jnp.where(into_a, cur1 * 16 + k1, cur2)
             m1 = jnp.where(act1, m1_pop, jnp.where(act0, bits, m1))
             ph1 = jnp.where(act0, sign, ph1)
             cur1 = jnp.where(act0, k0, cur1)
             m0 = jnp.where(act0, m0_pop, m0)
-            return m0, m1, m2, cur1, cur2, ph0, ph1, ph2
+            return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b
 
-        m0, m1, m2, cur1, cur2, ph0, ph1, ph2 = jax.lax.fori_loop(
-            0, CLUSTER_WALK_STEPS, pop, (m0, m1, m2, cur1, cur2, ph0, ph1, ph2)
+        m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b = jax.lax.fori_loop(
+            0, CLUSTER_WALK_STEPS, pop,
+            (m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b),
         )
 
-        at_leaf = m2 != 0
-        # pop up to SWEEP_LEAVES pending leaves per parked lane (popping an
-        # empty mask is a no-op: it yields bit 0 and stays empty)
-        ks, rest = [], m2
+        at_leaf = (m2 | m2b) != 0
+        # pop up to SWEEP_LEAVES pending leaves per parked lane, draining
+        # register a before register b (popping an empty mask is a no-op:
+        # it yields bit 0 and stays empty)
+        ks, rest_a, rest_b = [], m2, m2b
         for _ in range(SWEEP_LEAVES):
-            k, rest_next = _pop_bit(rest, ph2)
-            ks.append((k, rest != 0))
-            rest = rest_next
-        m2_pop = rest
+            use_a = rest_a != 0
+            k_a, rest_a_next = _pop_bit(rest_a, ph2)
+            k_b, rest_b_next = _pop_bit(rest_b, ph2b)
+            leaf = jnp.where(use_a, cur2 * 16 + k_a, cur2b * 16 + k_b)
+            ks.append((leaf, use_a | (rest_b != 0)))
+            rest_a = jnp.where(use_a, rest_a_next, rest_a)
+            rest_b = jnp.where(use_a, rest_b, rest_b_next)
+        m2_pop, m2b_pop = rest_a, rest_b
         leaf_ids = jnp.stack(
-            [jnp.minimum(cur2 * 16 + k, max_slot) for k, _ in ks], axis=1
+            [jnp.minimum(leaf, max_slot) for leaf, _ in ks], axis=1
         )
         leaf_act = jnp.stack([has for _, has in ks], axis=1)
 
@@ -1810,13 +1914,21 @@ def _cluster_traverse(
             )
 
         m2 = jnp.where(swept, m2_pop, m2)
+        m2b = jnp.where(swept, m2b_pop, m2b)
+        # promote a drained register a from b so subsequent pops refill b
+        promote = (m2 == 0) & (m2b != 0)
+        m2 = jnp.where(promote, m2b, m2)
+        cur2 = jnp.where(promote, cur2b, cur2)
+        ph2 = jnp.where(promote, ph2b, ph2)
+        m2b = jnp.where(promote, 0, m2b)
         if exit_below is not None:
             # any-hit query: a lane that found a definitive blocker exits
             done = state["t"] < exit_below
             m0 = jnp.where(done, 0, m0)
             m1 = jnp.where(done, 0, m1)
             m2 = jnp.where(done, 0, m2)
-        return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, state
+            m2b = jnp.where(done, 0, m2b)
+        return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
     carry = jax.lax.while_loop(
         outer_cond, outer_body_pallas if use_pallas else outer_body, carry0
