@@ -16,10 +16,21 @@ TPU formulation:
     by cell id (cell size = gather radius) and each camera vertex scans the
     27 neighboring cells with a per-cell photon cap.
 
-Spectral simplifications vs the reference (documented deviations, both below
-film-bin resolution): gathers evaluate at the camera ray's own stratified
-wavelengths instead of fresh per-gather random wavelengths, and photon powers
-are stored on the film's wavelength-bin grid.
+Wavelength mechanism (photon_mapping.rs:352-399): every lamp path carries ONE
+uniform random wavelength (photon_mapping.rs:199); each gathered (camera
+vertex, photon) pair exposes a primary sample whose wavelength follows the
+dispersal rules — photon's exact lambda normally, the camera hero lambda when
+the camera vertex dispersed, pair skipped when both dispersed — plus
+``spectrum_samples`` fresh uniform wavelengths when neither vertex dispersed.
+Photon powers are exact at the photon's own lambda (traced in column 0).
+Chain re-evaluation at other wavelengths (the reference re-walks both chains
+per pair per sample) is replaced by dense lambda-grid prefix products
+(camera: partialR traced on a G-point grid; photons: power on the film bin
+grid) linearly interpolated to the sample wavelength — the one remaining
+documented deviation, bounded by ``tests/test_renderers.py``'s interpolation
+error test. Fresh wavelengths are drawn per (vertex, bounce) and shared by
+that vertex's gathered pairs instead of per pair (same estimator, slightly
+more correlation).
 """
 
 from __future__ import annotations
@@ -97,7 +108,9 @@ def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
         )
         return i + 1, carry, bufs
 
-    _, (state, _), recorded = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0, bufs))
+    _, (state, _), recorded = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry0, bufs)
+    )
     return state, recorded
 
 
@@ -167,6 +180,24 @@ def grid_scan_slot(k, order, sorted_keys, starts, ckeys, p_valid, p_pos, q_pos, 
     return pj, match
 
 
+def interp_cols(rows, span, lam):
+    """Linearly interpolate ``rows`` [N, B] — sampled at the B bin centers of
+    ``span`` — at wavelengths ``lam`` [N] or [N, K]. Clamps to the end bins."""
+    b = rows.shape[1]
+    lo, hi = span
+    d = (hi - lo) / b
+    squeeze = lam.ndim == 1
+    if squeeze:
+        lam = lam[:, None]
+    t = jnp.clip((lam - lo) / d - 0.5, 0.0, b - 1.0)
+    i0 = jnp.minimum(t.astype(jnp.int32), b - 2)
+    f = t - i0
+    v0 = jnp.take_along_axis(rows, i0, axis=1)
+    v1 = jnp.take_along_axis(rows, i0 + 1, axis=1)
+    out = v0 + (v1 - v0) * f
+    return out[:, 0] if squeeze else out
+
+
 def _gather(
     scene,
     film,
@@ -175,94 +206,166 @@ def _gather(
     photon_probability,
     cam,
     cam_wavelengths,
+    grid_span_bins,
+    key,
     photons,
     acc,
     wt,
     positions_view,
 ):
-    """Radius gather around each camera vertex (photon_mapping.rs:340-426)."""
+    """Radius gather around each camera vertex (photon_mapping.rs:340-426).
+
+    Per gathered pair: a primary sample at the dispersal-selected wavelength
+    (photon's exact lambda / camera hero lambda), plus ``spectrum_samples``
+    fresh uniform wavelengths when neither chain dispersed
+    (photon_mapping.rs:352-381). Pair contributions are accumulated into
+    film-wavelength bins inside the scan loop (the film only keeps binned
+    lambda, so binning inside the loop is exact)."""
+    from ..film import expose_sums
+
     n, bounces = cam["valid"].shape[:2]
-    s_count = cam_wavelengths.shape[1]
+    s_cam = cfg.spectrum_samples  # camera stratified columns (0..s_cam)
+    g0, g_bins = grid_span_bins  # camera partialR grid columns (g0..g0+g_bins)
+    k_fresh = cfg.spectrum_samples  # fresh wavelengths per non-dispersed pair
+    lo, hi = film.span
 
     p_pos = photons["position"]  # [P, 3]
     p_valid = photons["valid"]
-
-    power_bins = photons["power_bins"]  # [P, B]
+    p_power = photons["power"]  # [P, 1 + B]: col 0 exact at lambda_p
+    p_lambda = photons["wavelength"]  # [P]
+    p_disp = photons["dispersed"]
 
     # photon-side sort hoisted out of the bounce loop (the photon map does
     # not change across camera bounces); only the query side is per-bounce
     order, sorted_keys = grid_sort_photons(p_pos, p_valid, radius)
-    bins = film.wavelength_to_bin(cam_wavelengths)  # [N, S]
+
+    lam0 = cam_wavelengths[:, 0]
+    bf = film.bins
+    bin_centers = lo + (jnp.arange(bf) + 0.5) * (hi - lo) / bf
 
     for b in range(bounces):
         valid = cam["valid"][:, b]
         pos = cam["position"][:, b]
         normal = cam["normal"][:, b]
         incident = cam["incident"][:, b]
-        partialR = cam["partialR"][:, b]  # [N, S]
+        partialR = cam["partialR"][:, b]  # [N, s_cam + G]
+        r_hero = partialR[:, 0]
+        r_grid = partialR[:, g0 : g0 + g_bins]
         cam_dispersed = cam["dispersed"][:, b]
+
+        # fresh wavelengths for this bounce's pairs (film.sample_wavelength
+        # is uniform over the span, film.rs:64-66)
+        kb = jax.random.fold_in(key, b)
+        lam_f = jax.random.uniform(kb, (n, k_fresh), minval=lo, maxval=hi)
+        lam_dark = jax.random.uniform(
+            jax.random.fold_in(kb, 1), (n, k_fresh + 1), minval=lo, maxval=hi
+        )
 
         starts, ckeys = grid_query(sorted_keys, pos, radius)
 
         cos_cam = jnp.maximum(jnp.sum(incident * -normal, axis=-1), 0.0)
 
         def gather_body(k, carry):
-            gathered, num_neighbors = carry
-            pj, match = grid_scan_slot(
+            acc_bins, cnt_bins, num_neighbors, fresh_psum, fresh_cnt = carry
+            pj, in_rad = grid_scan_slot(
                 k, order, sorted_keys, starts, ckeys, p_valid, p_pos, pos, radius
             )
-            match &= valid
-            # both chains dispersed -> pair skipped (photon_mapping.rs:355)
-            match &= ~(cam_dispersed & photons["dispersed"][pj])
+            in_rad &= valid
+            # every in-radius photon counts toward num_neighbors — including
+            # both-dispersed pairs, which are then skipped without exposing
+            # (photon_mapping.rs:346,355)
+            num_neighbors = num_neighbors + in_rad.astype(jnp.int32)
+            phot_disp = p_disp[pj]
+            pair = in_rad & ~(cam_dispersed & phot_disp)
 
             exit_dir = -photons["incident"][pj]  # [N, 3]
             w_geom = jnp.maximum(jnp.sum(exit_dir * normal, axis=-1), 0.0)
             w_geom = w_geom * cos_cam / jnp.pi
             first_brdf = 2.0 * jnp.abs(jnp.sum(normal * exit_dir, axis=-1))
-            power = jnp.take_along_axis(power_bins[pj], bins, axis=1)  # [N, S]
-            contrib = partialR * (first_brdf * w_geom)[:, None] * power
-            gathered = gathered + jnp.where(match[:, None], contrib, 0.0)
-            num_neighbors = num_neighbors + match.astype(jnp.int32)
-            return gathered, num_neighbors
+            g = first_brdf * w_geom
 
-        gathered, num_neighbors = jax.lax.fori_loop(
+            rows = p_power[pj]  # [N, 1 + B]
+            lam_p = p_lambda[pj]
+            # primary sample: photon's exact lambda, or the camera hero
+            # lambda when the camera vertex dispersed
+            lam_sel = jnp.where(cam_dispersed, lam0, lam_p)
+            r_sel = jnp.where(cam_dispersed, r_hero, interp_cols(r_grid, film.span, lam_p))
+            p_sel = jnp.where(cam_dispersed, interp_cols(rows[:, 1:], film.span, lam0), rows[:, 0])
+            c = jnp.where(pair, r_sel * p_sel * g, 0.0)
+
+            j = film.wavelength_to_bin(lam_sel)  # [N]
+            onehot = j[:, None] == jnp.arange(bf)[None, :]
+            live = onehot & pair[:, None]
+            acc_bins = acc_bins + jnp.where(live, c[:, None], 0.0)
+            cnt_bins = cnt_bins + live.astype(jnp.float32)
+
+            # additional fresh samples only when neither vertex dispersed
+            # (photon_mapping.rs:357-381); the camera factor R(lam_f) is
+            # per-lane and multiplies after the loop
+            both_clear = pair & ~cam_dispersed & ~phot_disp
+            p_f = interp_cols(rows[:, 1:], film.span, lam_f)  # [N, K]
+            fresh_psum = fresh_psum + jnp.where(
+                both_clear[:, None], p_f * g[:, None], 0.0
+            )
+            fresh_cnt = fresh_cnt + both_clear.astype(jnp.int32)
+            return acc_bins, cnt_bins, num_neighbors, fresh_psum, fresh_cnt
+
+        acc_bins, cnt_bins, num_neighbors, fresh_psum, fresh_cnt = jax.lax.fori_loop(
             0,
             27 * _CELL_CAP,
             gather_body,
-            (jnp.zeros((n, s_count)), jnp.zeros(n, jnp.int32)),
+            (
+                jnp.zeros((n, bf)),
+                jnp.zeros((n, bf)),
+                jnp.zeros(n, jnp.int32),
+                jnp.zeros((n, k_fresh)),
+                jnp.zeros(n, jnp.int32),
+            ),
         )
 
-        # the reference exposes each neighbor sample separately with weight
-        # photon_probability / num_neighbors; summed per lane that is
-        #   acc += gathered * photon_probability / num_neighbors
-        #   wt  += num_neighbors * (photon_probability / num_neighbors)
+        # every exposed sample carries weight photon_probability/num_neighbors
         has = num_neighbors > 0
-        per_sample_w = photon_probability / jnp.maximum(num_neighbors, 1)
-        from ..film import expose_sums
+        w1 = photon_probability / jnp.maximum(num_neighbors, 1)
 
+        # primary samples, already binned by selected wavelength
         acc, wt = expose_sums(
             film,
             acc,
             wt,
             positions_view,
-            cam_wavelengths,
-            gathered * per_sample_w[:, None],
-            jnp.broadcast_to(
-                jnp.where(has, photon_probability, 0.0)[:, None], (n, s_count)
-            ),
-            (valid & has)[:, None] & jnp.ones((n, s_count), bool),
+            jnp.broadcast_to(bin_centers[None, :], (n, bf)),
+            acc_bins * w1[:, None],
+            cnt_bins * w1[:, None],
+            (valid & has)[:, None] & (cnt_bins > 0),
         )
 
+        # fresh samples: R_cam(lam_f) * sum over pairs of P(lam_f) * g
+        r_f = interp_cols(r_grid, film.span, lam_f)  # [N, K]
+        acc, wt = expose_sums(
+            film,
+            acc,
+            wt,
+            positions_view,
+            lam_f,
+            r_f * fresh_psum * w1[:, None],
+            jnp.broadcast_to((fresh_cnt * w1)[:, None], (n, k_fresh)),
+            (valid & has & (fresh_cnt > 0))[:, None]
+            & jnp.ones((n, k_fresh), bool),
+        )
+
+        # no neighbors: spectrum_samples + 1 zero-brightness samples at fresh
+        # wavelengths, weight 1/(bounces * photon_passes) each
+        # (photon_mapping.rs:403-414)
         dark_w = jnp.where(valid & ~has, 1.0 / photons["darkness_denom"], 0.0)
         acc, wt = expose_sums(
             film,
             acc,
             wt,
             positions_view,
-            cam_wavelengths,
-            jnp.zeros((n, s_count)),
-            jnp.broadcast_to(dark_w[:, None], (n, s_count)),
-            (valid & ~has)[:, None] & jnp.ones((n, s_count), bool),
+            lam_dark,
+            jnp.zeros((n, k_fresh + 1)),
+            jnp.broadcast_to(dark_w[:, None], (n, k_fresh + 1)),
+            (valid & ~has)[:, None] & jnp.ones((n, k_fresh + 1), bool),
         )
     return acc, wt
 
@@ -294,24 +397,42 @@ def _build_parts(project_data, scene: Scene):
     )
     darkness_denom = float(settings.bounces * settings.photon_passes)
 
+    lo, hi = settings.spectrum_span
+    b_bins = settings.spectrum_bins
     bin_centers = jnp.asarray(
-        [
-            settings.spectrum_span[0]
-            + (i + 0.5)
-            * (settings.spectrum_span[1] - settings.spectrum_span[0])
-            / settings.spectrum_bins
-            for i in range(settings.spectrum_bins)
-        ]
+        [lo + (i + 0.5) * (hi - lo) / b_bins for i in range(b_bins)]
+    )
+
+    # camera partialR wavelength grid for interpolating R(lambda) at
+    # arbitrary pair wavelengths: as fine as the film bin grid, halved until
+    # the [N, bounces, S + G] record buffer stays within budget
+    n_lanes = project.image.width * project.image.height
+    g_bins = b_bins
+    while (
+        g_bins > 8
+        and n_lanes * max(settings.bounces, 1) * (settings.spectrum_samples + g_bins)
+        > 200_000_000
+    ):
+        g_bins //= 2
+    grid_centers = jnp.asarray(
+        [lo + (i + 0.5) * (hi - lo) / g_bins for i in range(g_bins)]
     )
 
     def photon_batch(key, count):
-        """Shoot ``count`` photons; returns flat photon arrays with power on
-        the film bin grid (light chains -> prefix products)."""
-        wl = jnp.broadcast_to(bin_centers[None, :], (count, settings.spectrum_bins))
-        path = trace_lamp_path(scene, photon_cfg, key, wl)
+        """Shoot ``count`` photons. Each lamp path carries one uniform random
+        wavelength (photon_mapping.rs:199) traced in column 0 — photon powers
+        are EXACT at that wavelength — plus the film bin grid in the
+        remaining columns for fresh-wavelength interpolation."""
+        k_wl, k_path = jax.random.split(key)
+        lam_p = jax.random.uniform(k_wl, (count, 1), minval=lo, maxval=hi)
+        wl = jnp.concatenate(
+            [lam_p, jnp.broadcast_to(bin_centers[None, :], (count, b_bins))],
+            axis=1,
+        )
+        path = trace_lamp_path(scene, photon_cfg, k_path, wl)
         n_slots = path["valid"].shape[1]
 
-        # power prefix products on the bin grid, like BDPT's PP
+        # power prefix products, like BDPT's PP
         from .bidirectional import _lamp_path_factors
 
         pp, _, _, inc = _lamp_path_factors(scene, path, wl, photon_cfg)
@@ -331,7 +452,10 @@ def _build_parts(project_data, scene: Scene):
             "position": flat(path["position"]),
             # stored incident after the reference's pairs() reversal
             "incident": flat(inc),
-            "power_bins": power.reshape(count * n_slots, settings.spectrum_bins),
+            "power": power.reshape(count * n_slots, 1 + b_bins),
+            "wavelength": flat(
+                jnp.broadcast_to(lam_p, (count, n_slots))
+            ),
             "valid": flat(path["valid"] & path["is_diffuse"]),
             "dispersed": flat(path["dispersed"]),
             "darkness_denom": darkness_denom,
@@ -340,30 +464,40 @@ def _build_parts(project_data, scene: Scene):
     def camera_step(acc, wt, key, data):
       with scene.bind(data):
         positions, origin, direction, wavelengths = chunk_rays(film, camera, cfg, key)
+        n = origin.shape[0]
+        s = cfg.spectrum_samples
+        # camera paths traced with the interpolation grid appended so
+        # partialR(lambda) is recorded on a dense grid alongside the
+        # stratified film columns; only the film columns are exposed
+        wl_ext = jnp.concatenate(
+            [wavelengths, jnp.broadcast_to(grid_centers[None, :], (n, g_bins))],
+            axis=1,
+        )
         k_t = jax.random.fold_in(key, 3)
         state, recorded = _record_camera_vertices(
-            scene, cfg, k_t, origin, direction, wavelengths
+            scene, cfg, k_t, origin, direction, wl_ext
         )
-        n, s_count = state["brightness"].shape
         mask = jnp.concatenate(
             [
                 jnp.ones((n, 1), bool),
-                jnp.broadcast_to(state["aux_alive"][:, None], (n, s_count - 1)),
+                jnp.broadcast_to(state["aux_alive"][:, None], (n, s - 1)),
             ],
             axis=1,
         )
         acc, wt = film.expose(
-            acc, wt, positions, wavelengths, state["brightness"],
-            jnp.ones((n, s_count)), mask,
+            acc, wt, positions, wavelengths, state["brightness"][:, :s],
+            jnp.ones((n, s)), mask,
         )
-        return acc, wt, recorded, positions, wavelengths
+        return acc, wt, recorded, positions, wl_ext
 
     def gather_step(acc, wt, key, recorded, positions, wavelengths, data):
         with scene.bind(data):
-            photons = photon_batch(key, settings.photons)
+            k_phot, k_lam = jax.random.split(jax.random.fold_in(key, 11))
+            photons = photon_batch(k_phot, settings.photons)
             return _gather(
                 scene, film, cfg, radius, photon_probability, recorded,
-                wavelengths, photons, acc, wt, positions,
+                wavelengths, (cfg.spectrum_samples, g_bins), k_lam, photons,
+                acc, wt, positions,
             )
 
     return film, settings, camera_step, gather_step
