@@ -101,32 +101,89 @@ def _lamp_path_factors(scene: Scene, path, wavelengths, cfg: TraceConfig):
     return pp, aux_ok, is_specular, inc
 
 
-def _light_splats(
-    scene, film, camera, cfg, key, path, wavelengths, pp, aux_ok, acc, wt
-):
-    """Light-tracing splats (bidirectional.rs:253-306).
+def _connection_arrays(scene, path, wavelengths, cfg, k_splat):
+    """Everything the camera walk needs per lamp slot, as one dict.
 
-    All L+1 lamp slots are projected and shadow-tested in ONE flattened
-    [N*(L+1)] batch and exposed with a single film scatter (the reference's
-    per-vertex loop costs (L+1) serial dispatch rounds on this machine)."""
+    Built at full [N, L+1] capacity; _compact_connections can then gather it
+    down to only the *connectable* slots (valid non-specular vertices: the
+    emitter and diffuse vertices — connect_paths and the light-tracing pass
+    skip specular vertices, bidirectional.rs:270,330). Splat PRNG draws are
+    made here per ORIGINAL slot index so a compacted walk is draw-for-draw
+    identical to the full-width walk."""
+    pp, aux_ok, lamp_specular, _ = _lamp_path_factors(scene, path, wavelengths, cfg)
     n, slots = path["valid"].shape
-    s_count = wavelengths.shape[1]
-    len_lamp = jnp.maximum(path["length"], 1)
-    splat_weight = 1.0 / len_lamp.astype(jnp.float32)
-
-    # identical PRNG draws to the per-slot loop (fold_in(key, k))
-    u = jnp.stack(
+    splat_u = jnp.stack(
         [
-            jax.random.uniform(jax.random.fold_in(key, k), (n, 2))
+            jax.random.uniform(jax.random.fold_in(k_splat, k), (n, 2))
             for k in range(slots)
         ],
         axis=1,
     )  # [N, K, 2]
+    conn_ok = path["valid"] & ~lamp_specular
+    return {
+        "position": path["position"],
+        "normal": path["normal"],
+        "pp": pp,
+        "aux_ok": aux_ok,
+        "conn_ok": conn_ok,
+        "splat_ok": path["valid"] & path["is_diffuse"],
+        "splat_u": splat_u,
+        "length": path["length"],
+    }
+
+
+def connectable_count(conn):
+    """Max connectable slots in any lane — the host reads this to bucket the
+    compacted capacity (render()'s two-phase path)."""
+    return jnp.max(jnp.sum(conn["conn_ok"].astype(jnp.int32), axis=1))
+
+
+def _compact_connections(conn, k_new: int):
+    """Gather the connectable slots of ``conn`` into [N, k_new] arrays
+    (stable slot order via a masked-index sort along the slot axis). With
+    deep light budgets (dragon/snowflake run light_bounces = 256) almost
+    every slot is specular or invalid, so the per-camera-bounce connection
+    shadow batch shrinks from N*(L+1) to N*k_new lanes."""
+    n, slots = conn["conn_ok"].shape
+    idx = jnp.arange(slots)[None, :]
+    order_key = jnp.where(conn["conn_ok"], idx, slots + idx)
+    order = jnp.argsort(order_key, axis=1)[:, :k_new]  # [N, k_new]
+    kept = jnp.take_along_axis(order_key, order, axis=1) < slots
+
+    def take(x):
+        o = order
+        while o.ndim < x.ndim:
+            o = o[..., None]
+        return jnp.take_along_axis(x, jnp.broadcast_to(o, x.shape[:1] + (k_new,) + x.shape[2:]), axis=1)
+
+    return {
+        "position": take(conn["position"]),
+        "normal": take(conn["normal"]),
+        "pp": take(conn["pp"]),
+        "aux_ok": take(conn["aux_ok"]) & kept,
+        "conn_ok": take(conn["conn_ok"]) & kept,
+        "splat_ok": take(conn["splat_ok"]) & kept,
+        "splat_u": take(conn["splat_u"]),
+        "length": conn["length"],
+    }
+
+
+def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt):
+    """Light-tracing splats (bidirectional.rs:253-306).
+
+    All lamp slots are projected and shadow-tested in ONE flattened
+    [N*(L+1)] batch and exposed with a single film scatter (the reference's
+    per-vertex loop costs (L+1) serial dispatch rounds on this machine)."""
+    n, slots = conn["conn_ok"].shape
+    s_count = wavelengths.shape[1]
+    len_lamp = jnp.maximum(conn["length"], 1)
+    splat_weight = 1.0 / len_lamp.astype(jnp.float32)
+    pp, aux_ok, u = conn["pp"], conn["aux_ok"], conn["splat_u"]
 
     flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
-    mask = flat(path["valid"] & path["is_diffuse"])
+    mask = flat(conn["splat_ok"])
     view_xy, world_origin, direction, distance, ok = camera_inverse_project(
-        camera, flat(path["position"]), flat(u[..., 0]), flat(u[..., 1])
+        camera, flat(conn["position"]), flat(u[..., 0]), flat(u[..., 1])
     )
     mask &= ok
     mask &= (jnp.abs(view_xy[:, 0]) < 1.0) & (jnp.abs(view_xy[:, 1]) < 1.0)
@@ -167,7 +224,15 @@ def make_render_step(
     light_bounces: int,
     rows_per_chunk: int,
     jit: bool = True,
+    two_phase: bool = False,
 ):
+    """``two_phase=False``: one fused chunk step (lamp trace + camera walk),
+    the shape render_sharded's shard_map needs. ``two_phase=True``: returns
+    (lamp_step, compact_step, cam_step) so the host can read the max
+    connectable slot count per chunk and run the camera walk against
+    compacted [N, K'] connection arrays — at light_bounces=256 (dragon,
+    snowflake) nearly all of the L+1 slots are specular or invalid, so this
+    shrinks every per-bounce connection shadow batch by ~K/K'."""
     lamp_cfg = TraceConfig(
         bounces=light_bounces,
         light_samples=0,
@@ -175,20 +240,34 @@ def make_render_step(
         max_de_steps=cfg.max_de_steps,
     )
 
-    def chunk_step(acc, wt, key, data, row0=0):
+    def lamp_step(key, data):
+        """Phase 1 of the two-phase path: lamp subpaths -> connection arrays
+        (full [N, L+1] capacity) + the max connectable count for bucketing."""
+        with scene.bind(data):
+            _, _, _, wavelengths = chunk_rays(
+                film, camera, cfg, key, row0=0, rows=rows_per_chunk
+            )
+            k_lamp, _, k_splat = jax.random.split(jax.random.fold_in(key, 11), 3)
+            path = trace_lamp_path(scene, lamp_cfg, k_lamp, wavelengths)
+            conn = _connection_arrays(scene, path, wavelengths, cfg, k_splat)
+            return conn, connectable_count(conn)
+
+    def compact_step(conn, k_new):
+        return _compact_connections(conn, k_new)
+
+    def cam_step(acc, wt, key, data, conn, row0=0):
+      """Phase 2: camera walk + connections + exposures against ``conn``
+      (either full capacity or compacted)."""
       with scene.bind(data):
         positions, origin, direction, wavelengths = chunk_rays(
             film, camera, cfg, key, row0=row0, rows=rows_per_chunk
         )
         n = origin.shape[0]
         s_count = wavelengths.shape[1]
-        k_lamp, k_cam, k_splat = jax.random.split(jax.random.fold_in(key, 11), 3)
-
-        # --- lamp subpaths ----------------------------------------------------
-        path = trace_lamp_path(scene, lamp_cfg, k_lamp, wavelengths)
-        pp, aux_ok, lamp_specular, _ = _lamp_path_factors(scene, path, wavelengths, cfg)
-        slots = path["valid"].shape[1]
-        len_lamp = path["length"]
+        slots = conn["conn_ok"].shape[1]
+        pp, aux_ok = conn["pp"], conn["aux_ok"]
+        len_lamp = conn["length"]
+        k_cam = jax.random.split(jax.random.fold_in(key, 11), 3)[1]
 
         # --- camera walk with connections --------------------------------------
         state = {
@@ -220,14 +299,14 @@ def make_render_step(
             conn_vsum = extras["conn_vsum"]
             conn_cnt = extras["conn_cnt"]
             if scene.num_lamps > 0:
-                dirvec = path["position"] - info["position"][:, None, :]  # [N,K,3]
+                dirvec = conn["position"] - info["position"][:, None, :]  # [N,K,3]
                 sqd = jnp.sum(dirvec * dirvec, axis=-1)
                 dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
                 conn_dir = dirvec / dist[..., None]
 
                 cos_out_s = jnp.sum(info["normal"][:, None, :] * conn_dir, axis=-1)
-                cos_in_s = jnp.sum(path["normal"] * -conn_dir, axis=-1)
-                good = cam_ok[:, None] & path["valid"] & ~lamp_specular
+                cos_in_s = jnp.sum(conn["normal"] * -conn_dir, axis=-1)
+                good = cam_ok[:, None] & conn["conn_ok"]
                 good &= cos_out_s > 0.0
                 good &= cos_in_s > 0.0
 
@@ -339,10 +418,20 @@ def make_render_step(
 
         # light-tracing splats
         acc, wt = _light_splats(
-            scene, film, camera, cfg, k_splat, path, wavelengths, pp, aux_ok, acc, wt
+            scene, film, camera, cfg, conn, wavelengths, acc, wt
         )
         return acc, wt
 
+    def chunk_step(acc, wt, key, data, row0=0):
+        conn, _ = lamp_step(key, data)
+        return cam_step(acc, wt, key, data, conn, row0=row0)
+
+    if two_phase:
+        return (
+            jax.jit(lamp_step),
+            jax.jit(compact_step, static_argnums=(1,)),
+            jax.jit(cam_step, donate_argnums=(0, 1)),
+        )
     return jax.jit(chunk_step, donate_argnums=(0, 1)) if jit else chunk_step
 
 
@@ -389,7 +478,17 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         scene=scene,
         bounces=settings.bounces,
     )
-    step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
+    # deep light budgets ride the two-phase compacted-connection path; at
+    # small L the full-capacity fused step is already cheap (and avoids the
+    # extra host sync per chunk)
+    two_phase = settings.light_bounces + 1 > 16
+    if two_phase:
+        lamp_step, compact_step, cam_step = make_render_step(
+            scene, film, camera, cfg, settings.light_bounces, rows,
+            two_phase=True,
+        )
+    else:
+        step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
 
     acc, wt = film.new_buffers()
     start_sample = 0
@@ -410,9 +509,22 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     from .simple import chunk_order
 
     order = chunk_order(chunks)
+    slots = settings.light_bounces + 1
     for i in range(start_sample, total):
         for c in order:
-            acc, wt = step(acc, wt, keys[i * chunks + c], data, c * rows)
+            key_c = keys[i * chunks + c]
+            if two_phase:
+                conn, count = lamp_step(key_c, data)
+                # bucket to powers of two so only a handful of cam_step
+                # shapes ever compile
+                k_new = 4
+                while k_new < int(count) and k_new < slots:
+                    k_new *= 2
+                k_new = min(k_new, slots)
+                conn = compact_step(conn, k_new)
+                acc, wt = cam_step(acc, wt, key_c, data, conn, c * rows)
+            else:
+                acc, wt = step(acc, wt, key_c, data, c * rows)
         if on_progress is not None:
             on_progress(RenderProgress(sample=i + 1, total=total, acc=acc, wt=wt, film=film))
     return film, acc, wt

@@ -64,7 +64,7 @@ def test_bdpt_camera_side_matches_simple(tmp_path, monkeypatch):
     simple_img = render(tmp_path, "simple", 250)
     monkeypatch.setattr(
         bd, "_light_splats",
-        lambda scene, film, camera, cfg, key, path, wl, pp, aux, acc, wt: (acc, wt),
+        lambda scene, film, camera, cfg, conn, wl, acc, wt: (acc, wt),
     )
     bdpt_img = render(tmp_path, "bidirectional", 250, extra=", light_bounces = 4")
     lit = simple_img > 0.02
@@ -76,6 +76,55 @@ def test_bdpt_runs_and_produces_light(tmp_path):
     img = render(tmp_path, "bidirectional", 24, extra=", light_bounces = 4")
     assert img.max() > 0.05
     assert np.isfinite(img).all()
+
+
+def test_bdpt_compacted_connections_match_full(tmp_path):
+    """The two-phase path (compact connectable lamp slots to [N, K'] before
+    the camera walk) must reproduce the fused full-capacity step — same
+    PRNG draws, same connections, only the slot layout differs."""
+    import jax
+
+    from pyrite_tpu.film import Film
+    from pyrite_tpu.renderers import bidirectional as bd
+    from pyrite_tpu.scene import CameraModel
+    from pyrite_tpu.tracer import TraceConfig
+
+    src = SCENE % {"algo": "bidirectional", "spp": 4,
+                   "extra": ", light_bounces = 24"}
+    path = tmp_path / "deep.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    project = pd.project
+    film = Film(width=project.image.width, height=project.image.height,
+                bins=project.renderer.spectrum_bins,
+                span=project.renderer.spectrum_span)
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(bounces=4, light_samples=2, spectrum_samples=4)
+
+    fused = bd.make_render_step(scene, film, camera, cfg, 24, film.height)
+    lamp_step, compact_step, cam_step = bd.make_render_step(
+        scene, film, camera, cfg, 24, film.height, two_phase=True
+    )
+
+    data = scene.device_data()
+    key = jax.random.PRNGKey(7)
+    acc0, wt0 = film.new_buffers()
+    acc_a, wt_a = fused(acc0, wt0, key, data)
+
+    conn, count = lamp_step(key, data)
+    assert int(count) < 25  # deep budget, short actual paths
+    k_new = max(4, int(count))
+    conn_c = compact_step(conn, k_new)
+    acc0, wt0 = film.new_buffers()
+    acc_b, wt_b = cam_step(acc0, wt0, key, data, conn_c)
+
+    np.testing.assert_allclose(
+        np.asarray(acc_a), np.asarray(acc_b), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(wt_a), np.asarray(wt_b), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_compaction_ladder_matches_flat(tmp_path, monkeypatch):
