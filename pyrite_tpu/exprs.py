@@ -61,6 +61,9 @@ class CompiledProgram:
     # shared [P, G] bank table (scene.bake_bank_tables) so material-heavy
     # scenes evaluate the whole bank with one gather instead of O(P) loops
     uses_ray_inputs: bool = False
+    # True when the DAG samples an image texture (needs large-table gathers
+    # the fused dense-bounce kernel cannot run on-chip, kernels_dense.py)
+    uses_texture: bool = False
 
     def __call__(self, inputs: ProgramInputs) -> jnp.ndarray:
         return self.fn(inputs)
@@ -280,6 +283,7 @@ def compile_program(
     # normal/incident) — lambda-only programs are bank-table bakeable.
     uses_wl = _expr_uses_wavelength(expr, output_type)
     uses_ray = expr_uses_ray_inputs(expr)
+    uses_tex = expr_uses_texture(expr)
     resources.preload(expr)
 
     def fn(inputs: ProgramInputs):
@@ -296,7 +300,7 @@ def compile_program(
 
     return CompiledProgram(
         fn=fn, output_type=output_type, uses_wavelength=uses_wl,
-        uses_ray_inputs=uses_ray,
+        uses_ray_inputs=uses_ray, uses_texture=uses_tex,
     )
 
 
@@ -313,6 +317,25 @@ def expr_uses_ray_inputs(expr: ir.Expression) -> bool:
             continue
         seen.add(id(node))
         if node.kind in ("color_texture", "mono_texture", "fresnel"):
+            return True
+        for value in node.fields.values():
+            if isinstance(value, ir.ComplexExpression):
+                stack.append(value)
+    return False
+
+
+def expr_uses_texture(expr: ir.Expression) -> bool:
+    """True when any DAG node samples an image texture."""
+    if isinstance(expr, float):
+        return False
+    seen = set()
+    stack = [expr]
+    while stack:
+        node = stack.pop()
+        if not isinstance(node, ir.ComplexExpression) or id(node) in seen:
+            continue
+        seen.add(id(node))
+        if node.kind in ("color_texture", "mono_texture"):
             return True
         for value in node.fields.values():
             if isinstance(value, ir.ComplexExpression):

@@ -254,6 +254,9 @@ class Scene:
         self.color_bank_bakeable = None
         self.prob_bank_bakeable = None
         self.bank_span = (380.0, 780.0)
+        # fused dense-bounce kernel pack (kernels_dense.build_pack), or None
+        # when the scene cannot ride the kernel
+        self.dense_pack = None
 
     @property
     def num_primitives(self):
@@ -812,6 +815,11 @@ def build_scene(project_data) -> Scene:
     ]
 
     bake_bank_tables(scene, project.renderer.spectrum_span)
+    from . import kernels_dense
+
+    scene.dense_pack = kernels_dense.build_pack(
+        scene, None, project.renderer.spectrum_samples
+    )
     return scene
 
 

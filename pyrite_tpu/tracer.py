@@ -929,6 +929,31 @@ def choose_emissive(scene: Scene, mat_id, u):
     return a["emis_comp"][eidx], a["emis_selection"][eidx]
 
 
+def draw_bounce_uniforms(scene: Scene, cfg: TraceConfig, bounce_key, n):
+    """All of one bounce's PRNG draws, replicating bounce_core +
+    trace_direct's exact key derivation so a consumer fed these draws is
+    bit-identical to the in-line path. Used by the fused dense-bounce
+    kernel (kernels_dense.py), whose on-chip body cannot run threefry."""
+    k_nm, k_comp, k_scatter, k_nee = jax.random.split(bounce_key, 4)
+    del k_nm
+    out = {
+        "u_comp": jax.random.uniform(k_comp, (n,)),
+        "u_scatter": jax.random.uniform(k_scatter, (n, 3)),
+    }
+    ls = cfg.light_samples
+    if scene.num_lamps > 0 and ls > 0:
+        k_pick, key = jax.random.split(k_nee)
+        out["lamp_idx"] = jax.random.randint(k_pick, (n,), 0, scene.num_lamps)
+        u_nee, u_emis = [], []
+        for s in range(ls):
+            k_s = jax.random.fold_in(key, s)
+            u_nee.append(jax.random.uniform(k_s, (n, 4)))
+            u_emis.append(jax.random.uniform(jax.random.fold_in(k_s, 1), (n,)))
+        out["u_nee"] = jnp.stack(u_nee)  # [ls, n, 4]
+        out["u_emis"] = jnp.stack(u_emis)  # [ls, n]
+    return out
+
+
 def trace_direct(
     scene: Scene,
     cfg: TraceConfig,
@@ -1123,6 +1148,28 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
         "sample_light": jnp.ones(n, bool),
         "light_events": jnp.zeros(n, jnp.int32),
     }
+
+    # Fused dense-bounce kernel: one launch per bounce instead of ~250
+    # dispatched ops (kernels_dense.py; spheres-class scenes only)
+    from . import kernels_dense as _kd
+
+    if scene.dense_pack is not None and _kd.enabled():
+        bank_vals = _kd.precompute_bank_values(scene, wavelengths)
+
+        def d_cond(carry):
+            i, st = carry
+            return (i < cfg.bounces) & jnp.any(st["alive"])
+
+        def d_body(carry):
+            i, st = carry
+            st = _kd.bounce_dense(
+                scene, cfg, wavelengths, st, jax.random.fold_in(key, i),
+                bank_vals,
+            )
+            return i + 1, st
+
+        _, state = jax.lax.while_loop(d_cond, d_body, (jnp.int32(0), state))
+        return state["brightness"], state["aux_alive"]
 
     # Bounce loop with whole-wavefront early exit: once every lane is dead
     # the remaining bounces (up to 256 in the diamonds scene) are skipped
