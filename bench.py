@@ -180,6 +180,99 @@ def bench_simple(scene_path, steps=10):
     return live_rays / per_step / 1e6, executed_rays / per_step / 1e6
 
 
+def bench_simple_regen(scene_path, spp=16, reps=3):
+    """Steady-state Mrays/s of the path-regeneration scheduler (the simple
+    renderer's default path for dense scenes): dead lanes restart a fresh
+    sample in place, so occupancy stays ~100% minus the final paths' tail.
+    The regen step itself counts live and executed lane-bounces; returns
+    (live_mrays, executed_mrays) with NEE shadow rays credited like
+    bench_simple."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyrite_tpu.renderers.simple import (
+        _regen_planes, make_regen_step, pick_rows,
+    )
+
+    _, scene, film, camera, cfg = _build(scene_path)
+    rows = pick_rows(film, scene, cfg)
+    planes = _regen_planes(film, rows)
+    chunks = film.height // rows
+    pix = rows * film.width
+    step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
+
+    data = scene.device_data()
+    acc, wt = film.new_buffers()
+    base, rem = divmod(spp, planes)
+    v = np.full(planes, base, np.int32)
+    v[:rem] += 1
+    spp_lane = jnp.asarray(np.repeat(v, pix))
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), (reps + 1) * chunks))
+
+    # warm every chunk shape
+    for c in range(chunks):
+        acc, wt, lv, ex = step(acc, wt, keys[c], data, c * rows, spp_lane)
+    float(lv)
+
+    lvs, exs = [], []
+    t0 = time.time()
+    for r in range(reps):
+        for c in range(chunks):
+            acc, wt, lv, ex = step(
+                acc, wt, keys[(r + 1) * chunks + c], data, c * rows, spp_lane
+            )
+            lvs.append(lv)
+            exs.append(ex)
+    # launches chain through donated acc/wt; one fetch forces them all
+    float(acc.sum())
+    dt = time.time() - t0
+    scale = 1 + cfg.light_samples
+    live = sum(float(x) for x in lvs) * scale
+    executed = sum(float(x) for x in exs) * scale
+    return live / dt / 1e6, executed / dt / 1e6
+
+
+def bench_regen_spp(scene_path, spp=16, reps=2):
+    """Steady-state samples/sec of the regeneration scheduler on a full
+    scene (deep-bounce dense scenes like diamonds): times ``reps`` launches
+    of ``spp`` samples each after one warm launch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyrite_tpu.renderers.simple import (
+        _regen_planes, make_regen_step, pick_rows,
+    )
+
+    _, scene, film, camera, cfg = _build(scene_path)
+    rows = pick_rows(film, scene, cfg)
+    planes = _regen_planes(film, rows)
+    chunks = film.height // rows
+    pix = rows * film.width
+    step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
+
+    data = scene.device_data()
+    acc, wt = film.new_buffers()
+    base, rem = divmod(spp, planes)
+    v = np.full(planes, base, np.int32)
+    v[:rem] += 1
+    spp_lane = jnp.asarray(np.repeat(v, pix))
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), (reps + 1) * chunks))
+
+    for c in range(chunks):
+        acc, wt, lv, ex = step(acc, wt, keys[c], data, c * rows, spp_lane)
+    float(acc.sum())
+    t0 = time.time()
+    for r in range(reps):
+        for c in range(chunks):
+            acc, wt, lv, ex = step(
+                acc, wt, keys[(r + 1) * chunks + c], data, c * rows, spp_lane
+            )
+    float(acc.sum())
+    return reps * spp / (time.time() - t0)
+
+
 def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_every=4):
     """Seconds of rendering until consecutive previews (every ``check_every``
     samples) differ by < threshold mean absolute luminance — the practical
@@ -257,15 +350,27 @@ def main():
     spheres = "/root/reference/pyrite/test/spheres/spheres.lua"
     cornell = "/root/reference/pyrite/test/cornell/cornell.lua"
 
-    mrays, executed_mrays = bench_simple(spheres)
+    mrays, executed_mrays = bench_simple_regen(spheres)
     extras.append(
         {
-            "metric": "trace throughput, spheres, executed lane-bounces "
-            "(masked work included — the round-1 accounting)",
+            "metric": "trace throughput, spheres, regen executed lane-bounces "
+            "(including regen-tail masked work)",
             "value": round(executed_mrays, 3),
             "unit": "Mrays/sec/chip",
         }
     )
+    try:
+        oneshot_mrays, oneshot_executed = bench_simple(spheres)
+        extras.append(
+            {
+                "metric": "trace throughput, spheres, one-shot wavefront "
+                "(live lanes; the pre-regen r02 primary)",
+                "value": round(oneshot_mrays, 3),
+                "unit": "Mrays/sec/chip",
+            }
+        )
+    except Exception as error:
+        extras.append({"metric": "one-shot spheres Mrays/sec", "error": repr(error)})
 
     try:
         spp_rate = bench_render_spp(cornell)
@@ -280,15 +385,14 @@ def main():
         extras.append({"metric": "cornell bdpt spp/sec", "error": repr(error)})
 
     try:
-        # 256-bounce dispersion scene: exercises the survivor-pool scheduler.
-        # The warm window must reach past the FIRST pool flush (~sample 10),
-        # which one-time-compiles the flush-ladder jits at every pool width.
+        # 256-bounce dispersion scene on the regeneration scheduler (dead
+        # lanes restart fresh samples in place; one compile for any spp)
         diamonds = "/root/reference/pyrite/test/diamonds/diamonds.lua"
-        spp_rate = bench_render_spp(diamonds, "simple", samples=32, warm=14)
+        spp_rate = bench_regen_spp(diamonds, spp=16, reps=2)
         extras.append(
             {
                 "metric": "sampling rate, diamonds 512x300 simple "
-                "(256 bounces, survivor-pool scheduler)",
+                "(256 bounces, path-regeneration scheduler)",
                 "value": round(spp_rate, 4),
                 "unit": "spp/sec",
             }

@@ -161,6 +161,239 @@ def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCo
 
 
 # =============================================================================
+# Path-regeneration scheduler (dense scenes, any bounce depth)
+# =============================================================================
+#
+# The flat wavefront wastes the 4x live-vs-executed gap on shallow scenes
+# (spheres survival after bounces 1-8: 60/16/5.8/3.5/2.4/1.9/1.6/1.4%, so
+# mean occupancy is ~24%) and the survivor pool only recovers deep-bounce
+# scenes. Per-lane shuffles at megabatch width are the forbidden operation
+# on this backend (argsort[524k] = 26 ms, permuting the state through it =
+# 300 ms — CLAUDE.md), so compaction cannot fix it. Path REGENERATION can:
+# every lane owns a fixed film pixel; the moment its path dies, the lane
+# exposes the finished sample into a per-lane bin accumulator (vector math,
+# no scatter) and immediately restarts a fresh stratified sample at the
+# same pixel. Occupancy stays ~100% for the whole launch minus the final
+# paths' tail, with zero cross-lane data movement. This matches the
+# reference's per-thread sample loop (renderer/simple.rs:23-73 runs
+# `for _ in 0..samples { trace }` per tile) more directly than the
+# chunk-per-sample wavefront did — a thread there also starts the next
+# sample the moment one finishes.
+#
+# Estimator parity with the one-shot path: each (pixel, sample) is an
+# independent stratified draw with the same jitter/lens/wavelength scheme
+# (chunk_rays), the same per-bounce PRNG structure, the same exposure
+# weights (1 per completed sample on the hero column, aux columns masked by
+# the dispersal flag). Only the key derivation differs.
+
+REGEN_TARGET_LANES = 524288  # megabatch width: amortizes the dispatch floor
+REGEN_MAX_PLANES = 8
+
+
+def regen_enabled() -> bool:
+    import os
+
+    return os.environ.get("PYRITE_TPU_REGEN", "1") == "1"
+
+
+def _accumulate_lane_bins(film: Film, acc_l, wt_l, wavelengths, brightness, aux_alive, complete):
+    """Per-lane spectral-bin accumulation for completed paths: the same
+    one-hot wavelength->bin contraction as expose_lanes, but into [N, bins]
+    per-lane buffers (lanes own fixed pixels, so no cross-lane scatter)."""
+    n, s = brightness.shape
+    bins = film.wavelength_to_bin(wavelengths)  # [N, S]
+    onehot = (
+        bins[:, :, None] == jnp.arange(film.bins, dtype=bins.dtype)[None, None, :]
+    ).astype(brightness.dtype)
+    mask = complete[:, None] & jnp.concatenate(
+        [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s - 1))],
+        axis=1,
+    )
+    v = jnp.where(mask, brightness, 0.0)
+    w = jnp.where(mask, 1.0, 0.0)
+    acc_l = acc_l + jnp.einsum("ns,nsb->nb", v, onehot)
+    wt_l = wt_l + jnp.einsum("ns,nsb->nb", w, onehot)
+    return acc_l, wt_l
+
+
+def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, planes=1, jit=True):
+    """Build the jitted path-regeneration launch.
+
+    The step completes ``spp_lane[l]`` full paths on every lane l (``planes``
+    lanes per pixel, so a pixel gains sum-over-its-planes samples per
+    launch), with dead lanes regenerated in place each bounce. ``spp_lane``
+    is a device argument, so launches of any sample count share one compile.
+    Returns (acc, wt, live_bounces, executed_bounces) — the counters feed
+    bench.py's live-lane accounting."""
+    from ..tracer import bounce_core
+
+    rows = film.height if rows is None else rows
+    w = film.width
+    pix = rows * w
+    n = pix * planes
+    s = cfg.spectrum_samples
+
+    def fresh_rays(key, row0):
+        u = jax.random.uniform(key, (n, s + 5))
+        py, px = jnp.meshgrid(row0 + jnp.arange(rows), jnp.arange(w), indexing="ij")
+        pxf = jnp.tile(px.reshape(-1), planes) + u[:, 0]
+        pyf = jnp.tile(py.reshape(-1), planes) + u[:, 1]
+        positions = film.pixel_to_view(pxf, pyf)
+        origin, direction = camera.ray_towards(positions, u[:, 2], u[:, 3])
+        wavelengths = film.sample_wavelengths(u[:, 4 : 4 + s])
+        hero = jnp.minimum((u[:, 4 + s] * s).astype(jnp.int32), s - 1)
+        cols = jnp.arange(s)[None, :]
+        is_hero = cols == hero[:, None]
+        hero_wl = jnp.sum(jnp.where(is_hero, wavelengths, 0.0), axis=1, keepdims=True)
+        first_wl = wavelengths[:, :1]
+        wavelengths = jnp.where(
+            cols == 0, hero_wl, jnp.where(is_hero, first_wl, wavelengths)
+        )
+        return origin, direction, wavelengths
+
+    def step(acc, wt, key, data, row0, spp_lane):
+        with scene.bind(data):
+            k_gen = jax.random.fold_in(key, 7919)
+            k_tr = jax.random.fold_in(key, 7)
+            state = _trace_state(jnp.zeros((n, 3)), jnp.zeros((n, 3)).at[:, 2].set(1.0), s)
+            state["alive"] = jnp.zeros(n, bool)
+            carry = {
+                "i": jnp.int32(0),
+                "state": state,
+                "wl": jnp.full((n, s), film.span[0]),
+                "acc_l": jnp.zeros((n, film.bins)),
+                "wt_l": jnp.zeros((n, film.bins)),
+                "done": jnp.zeros(n, jnp.int32),
+                "pend": jnp.zeros(n, bool),
+                "plen": jnp.zeros(n, jnp.int32),
+                "live": jnp.float32(0.0),
+            }
+            max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
+
+            def cond(c):
+                st = c["state"]
+                return jnp.any(st["alive"] | (c["done"] < spp_lane)) & (
+                    c["i"] < max_iters
+                )
+
+            def body(c):
+                st = c["state"]
+                # 1) expose paths that completed last bounce
+                complete = c["pend"] & ~st["alive"]
+                acc_l, wt_l = _accumulate_lane_bins(
+                    film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
+                    st["aux_alive"], complete,
+                )
+                done = c["done"] + complete.astype(jnp.int32)
+                pend = c["pend"] & st["alive"]
+                # 2) regenerate: fresh stratified sample at the lane's pixel
+                reg = ~st["alive"] & (done < spp_lane)
+                o2, d2, wl2 = fresh_rays(jax.random.fold_in(k_gen, c["i"]), row0)
+                rc = reg[:, None]
+                st = {
+                    "origin": jnp.where(rc, o2, st["origin"]),
+                    "direction": jnp.where(rc, d2, st["direction"]),
+                    "brightness": jnp.where(rc, 0.0, st["brightness"]),
+                    "reflectance": jnp.where(rc, 1.0, st["reflectance"]),
+                    "alive": st["alive"] | reg,
+                    "aux_alive": jnp.where(reg, True, st["aux_alive"]),
+                    "sample_light": jnp.where(reg, True, st["sample_light"]),
+                    "light_events": jnp.where(reg, 0, st["light_events"]),
+                }
+                wl = jnp.where(rc, wl2, c["wl"])
+                pend = pend | reg
+                plen = jnp.where(reg, 0, c["plen"])
+                live = c["live"] + jnp.sum(st["alive"].astype(jnp.float32))
+                # 3) one bounce for every live lane
+                st, _ = bounce_core(
+                    scene, cfg, wl, st, jax.random.fold_in(k_tr, c["i"])
+                )
+                # 4) per-path depth budget (the one-shot loop's iteration
+                # count becomes a per-lane counter here)
+                plen = plen + st["alive"].astype(jnp.int32)
+                st["alive"] = st["alive"] & (plen < cfg.bounces)
+                return {
+                    "i": c["i"] + 1, "state": st, "wl": wl, "acc_l": acc_l,
+                    "wt_l": wt_l, "done": done, "pend": pend, "plen": plen,
+                    "live": live,
+                }
+
+            c = jax.lax.while_loop(cond, body, carry)
+            # drain: the final iteration's deaths were never exposed in-loop
+            st = c["state"]
+            complete = c["pend"] & ~st["alive"]
+            acc_l, wt_l = _accumulate_lane_bins(
+                film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
+                st["aux_alive"], complete,
+            )
+            # fold sample planes and write the row window
+            acc_delta = acc_l.reshape(planes, pix, film.bins).sum(axis=0)
+            wt_delta = wt_l.reshape(planes, pix, film.bins).sum(axis=0)
+            flat_acc = acc.reshape(film.height * film.width, film.bins)
+            flat_wt = wt.reshape(film.height * film.width, film.bins)
+            start = row0 * w
+            flat_acc = jax.lax.dynamic_update_slice_in_dim(
+                flat_acc,
+                jax.lax.dynamic_slice_in_dim(flat_acc, start, pix) + acc_delta,
+                start, axis=0,
+            )
+            flat_wt = jax.lax.dynamic_update_slice_in_dim(
+                flat_wt,
+                jax.lax.dynamic_slice_in_dim(flat_wt, start, pix) + wt_delta,
+                start, axis=0,
+            )
+            executed = c["i"].astype(jnp.float32) * n
+            return (
+                flat_acc.reshape(acc.shape), flat_wt.reshape(wt.shape),
+                c["live"], executed,
+            )
+
+    return jax.jit(step, donate_argnums=(0, 1)) if jit else step
+
+
+def _regen_planes(film: Film, rows: int) -> int:
+    pix = rows * film.width
+    return max(1, min(REGEN_MAX_PLANES, REGEN_TARGET_LANES // max(pix, 1)))
+
+
+def _render_regen(
+    scene, film, camera, cfg, rows, acc, wt, data, seed,
+    start_sample, total, on_progress, spp_chunk=None,
+):
+    """Host driver for the regeneration scheduler: launches complete
+    spp-chunks per row window until the exact requested sample count is
+    reached (remainders split across planes, so sample counts match the
+    sequential renderer exactly)."""
+    import numpy as np
+
+    planes = _regen_planes(film, rows)
+    chunks = film.height // rows
+    step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
+    if spp_chunk is None:
+        # bound one launch's expected work: ~16 samples/pixel for shallow
+        # budgets; deep budgets amortize the final paths' tail over more
+        # samples (the tail costs up to cfg.bounces full-width iterations)
+        spp_chunk = 16 if cfg.bounces < POOL_MIN_BOUNCES else 64
+    base_key = jax.random.PRNGKey(seed)
+    order = chunk_order(chunks)
+    done = start_sample
+    pix = rows * film.width
+    while done < total:
+        take = min(spp_chunk, total - done)
+        base, rem = divmod(take, planes)
+        spp_lane = np.full(planes, base, np.int32)
+        spp_lane[:rem] += 1
+        spp_lane = jnp.asarray(np.repeat(spp_lane, pix))
+        for ci in order:
+            key = jax.random.fold_in(jax.random.fold_in(base_key, ci), done)
+            acc, wt, _, _ = step(acc, wt, key, data, ci * rows, spp_lane)
+        done += take
+        if on_progress is not None:
+            on_progress(RenderProgress(sample=done, total=total, acc=acc, wt=wt, film=film))
+    return film, acc, wt
+
+
+# =============================================================================
 # Survivor-pool scheduler (deep-bounce scenes)
 # =============================================================================
 #
@@ -420,6 +653,12 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
 
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
 
+    if not scene.use_clusters and regen_enabled():
+        return _render_regen(
+            scene, film, camera, cfg, rows, acc, wt, data, seed,
+            start_sample, total, on_progress,
+        )
+
     if cfg.bounces >= POOL_MIN_BOUNCES:
         pooled_rows = pick_rows(film, scene, cfg, bounces=STAGE_BOUNCES)
         if pooled_rows != rows:
@@ -585,6 +824,13 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         settings.pixel_samples, max_samples
     )
 
+    if not scene.use_clusters and regen_enabled():
+        rows = pick_rows(film, scene, cfg)
+        return _render_regen_sharded(
+            scene, film, camera, cfg, rows, mesh, seed, total,
+            on_progress=on_progress, resume=resume,
+        )
+
     if cfg.bounces >= POOL_MIN_BOUNCES:
         rows = pick_rows(film, scene, cfg, bounces=STAGE_BOUNCES)
         return _render_pooled_sharded(
@@ -607,6 +853,82 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         resume=resume,
         progress_cls=RenderProgress,
     )
+
+
+def _render_regen_sharded(
+    scene, film, camera, cfg, rows, mesh, seed, total, on_progress=None, resume=None
+):
+    """Path-regeneration over the device mesh: every device runs its own
+    regen wavefront (lanes own the same pixels on every device; the sample
+    axis is sharded), with per-device sample targets riding in as a sharded
+    [D, n] array — so the exact requested sample count is honored even when
+    it doesn't divide by the device count. Film merge stays the single psum
+    at development time (parallel/mesh.py semantics)."""
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import device_film_buffers, merge_films, step_keys
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    data = scene.device_data()
+    chunks = film.height // rows
+    planes = _regen_planes(film, rows)
+    pix = rows * film.width
+    n = pix * planes
+
+    step_raw = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes, jit=False)
+
+    def per_device(acc, wt, keys, spp_lane, data, row0):
+        acc2, wt2, _, _ = step_raw(acc[0], wt[0], keys[0], data, row0, spp_lane[0])
+        return acc2[None], wt2[None]
+
+    sharded = jax.jit(
+        shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+    start = 0
+    resume_films = None
+    if resume is not None:
+        resume_films = (resume["acc"], resume["wt"])
+        start = resume["samples_done"]
+    acc, wt = device_film_buffers(film, mesh, resume=resume_films)
+    spp_sharding = NamedSharding(mesh, P(axis))
+
+    spp_chunk = (16 if cfg.bounces < POOL_MIN_BOUNCES else 64) * n_dev
+    key = jax.random.PRNGKey(seed)
+    order = chunk_order(chunks)
+    done = start
+    group = -(-start // spp_chunk)
+    while done < total:
+        take = min(spp_chunk, total - done)
+        dev_base, dev_rem = divmod(take, n_dev)
+        lane_targets = np.zeros((n_dev, n), np.int32)
+        for d in range(n_dev):
+            dev_take = dev_base + (1 if d < dev_rem else 0)
+            b, r = divmod(dev_take, planes)
+            v = np.full(planes, b, np.int32)
+            v[:r] += 1
+            lane_targets[d] = np.repeat(v, pix)
+        spp_lane = jax.device_put(lane_targets, spp_sharding)
+        for ci in order:
+            keys = step_keys(key, n_dev, group * chunks + ci)
+            acc, wt = sharded(acc, wt, keys, spp_lane, data, ci * rows)
+        done += take
+        group += 1
+        if on_progress is not None:
+            merged_acc, merged_wt = merge_films(acc, wt)
+            on_progress(RenderProgress(sample=done, total=total, acc=merged_acc, wt=merged_wt, film=film))
+    merged_acc, merged_wt = merge_films(acc, wt)
+    return film, merged_acc, merged_wt
 
 
 def _render_pooled_sharded(

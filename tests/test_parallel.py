@@ -103,14 +103,18 @@ def test_sharded_renders_exact_sample_count(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_checkpoint_resume_roundtrip(tmp_path):
+def test_sharded_checkpoint_resume_roundtrip(tmp_path, monkeypatch):
     """Kill/resume: a sharded render checkpointed at 8 samples and resumed to
     16 must accumulate exactly 16 samples and match an uninterrupted sharded
-    render statistically."""
+    render statistically. Pinned to the one-shot scheduler: its RNG stream is
+    indexed per sample group, so resume is bit-exact (regen draws depend on
+    launch partitioning — its resume exactness is sample-count-level, covered
+    by test_sharded_regen_matches_single_device)."""
     path = tmp_path / "scene.lua"
     path.write_text(SCENE)
     pd = load_project(str(path))
     scene = build_scene(pd)
+    monkeypatch.setattr(simple, "regen_enabled", lambda: False)
 
     from pyrite_tpu.parallel import make_mesh
 
@@ -163,7 +167,7 @@ POOLED_SCENE = SCENE.replace("bounces = 3,", "bounces = 24,")
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_pooled_matches_single_device(tmp_path):
+def test_sharded_pooled_matches_single_device(tmp_path, monkeypatch):
     """Deep-bounce budgets (>= POOL_MIN_BOUNCES) take the survivor-pool
     scheduler; the sharded path keeps one pool per shard and must agree with
     the single-device pooled render statistically. Also checks exact sample
@@ -173,6 +177,8 @@ def test_sharded_pooled_matches_single_device(tmp_path):
     pd = load_project(str(path))
     scene = build_scene(pd)
     assert pd.project.renderer.bounces >= simple.POOL_MIN_BOUNCES
+    # pin the scheduler under test (regen would otherwise take both paths)
+    monkeypatch.setattr(simple, "regen_enabled", lambda: False)
 
     film, acc1, wt1 = simple.render(pd, scene, seed=0, max_samples=40)
     single = np.asarray(film.develop(acc1, wt1)).mean(axis=2)
@@ -191,3 +197,42 @@ def test_sharded_pooled_matches_single_device(tmp_path):
     lit = single > 0.05
     rel = np.abs(single - sharded)[lit] / single[lit]
     assert np.median(rel) < 0.2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_regen_matches_single_device(tmp_path):
+    """The regeneration scheduler over the mesh (one regen wavefront per
+    device, per-device sample targets as a sharded array) must agree with
+    the single-device regen render and honor exact sample counts even when
+    the total doesn't divide by the device count."""
+    path = tmp_path / "scene.lua"
+    path.write_text(SCENE)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert not scene.use_clusters and simple.regen_enabled()
+
+    film, acc1, wt1 = simple.render(pd, scene, seed=0, max_samples=61)
+    single = np.asarray(film.develop(acc1, wt1)).mean(axis=2)
+
+    from pyrite_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8])
+    film, acc8, wt8 = simple.render_sharded(pd, scene, mesh, seed=1, max_samples=61)
+    sharded = np.asarray(film.develop(acc8, wt8)).mean(axis=2)
+
+    expected_wt = 61 * 16 * 16 * pd.project.renderer.spectrum_samples
+    assert np.asarray(wt1).sum() == pytest.approx(expected_wt)
+    assert np.asarray(wt8).sum() == pytest.approx(expected_wt)
+
+    lit = single > 0.05
+    rel = np.abs(single - sharded)[lit] / single[lit]
+    assert np.median(rel) < 0.2
+
+    # checkpoint/resume under regen: sample accounting stays exact
+    # (max_samples is capped by the scene's pixel_samples = 64)
+    resume = {"acc": np.asarray(acc8), "wt": np.asarray(wt8), "samples_done": 61}
+    film, acc_r, wt_r = simple.render_sharded(
+        pd, scene, mesh, seed=1, max_samples=64, resume=resume
+    )
+    expected_wt = 64 * 16 * 16 * pd.project.renderer.spectrum_samples
+    assert np.asarray(wt_r).sum() == pytest.approx(expected_wt)

@@ -142,6 +142,8 @@ def test_compaction_ladder_matches_flat(tmp_path, monkeypatch):
     path.write_text(src)
     pd = load_project(str(path))
     scene = build_scene(pd)
+    # the ladder lives in trace_paths (one-shot path); pin the scheduler
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
 
     def img_and_wt():
         film, acc, wt = simple_mod.render(pd, scene, seed=7, max_samples=150)
@@ -261,8 +263,10 @@ def test_cluster_path_matches_dense_without_native(tmp_path, monkeypatch):
     from pyrite_tpu import native
 
     # both paths must consume identical RNG streams; the dense path would
-    # otherwise take the multi-sample megabatch (different trace keys)
+    # otherwise take the multi-sample megabatch or the regen scheduler
+    # (different trace keys)
     monkeypatch.setenv("PYRITE_TPU_SAMPLE_BATCH", "1")
+    monkeypatch.setenv("PYRITE_TPU_REGEN", "0")
     dense_img = render(tmp_path, "simple", 8)
 
     monkeypatch.setattr(native, "build_bvh_clustered", lambda *a, **k: None)
@@ -368,6 +372,8 @@ def test_pooled_scheduler_matches_one_shot(tmp_path, monkeypatch):
     pd = load_project(str(path))
     scene = build_scene(pd)
     assert pd.project.renderer.bounces >= simple_mod.POOL_MIN_BOUNCES
+    # pin the schedulers under comparison (regen would otherwise take both)
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
 
     film, acc_p, wt_p = simple_mod.render(pd, scene, seed=3, max_samples=48)
 
@@ -387,3 +393,73 @@ def test_pooled_scheduler_matches_one_shot(tmp_path, monkeypatch):
     rel = np.abs(img_p - img_o)[lit] / img_o[lit]
     assert np.median(rel) < 0.15, f"median rel {np.median(rel):.3f}"
     np.testing.assert_allclose(img_p[lit].mean(), img_o[lit].mean(), rtol=0.05)
+
+
+def test_regen_scheduler_matches_one_shot(tmp_path, monkeypatch):
+    """The path-regeneration scheduler (simple.py:make_regen_step) restarts a
+    fresh stratified sample on a lane the moment its path dies. The estimator
+    must be the one-shot wavefront's: exact sample counts (film weight
+    conserved bit-exactly) and statistically matching radiance. Reference
+    semantics: renderer/simple.rs:23-73 (a tile thread likewise begins the
+    next sample immediately after one finishes)."""
+    from pyrite_tpu.renderers import simple as simple_mod
+
+    src = SCENE % {"algo": "simple", "spp": 50, "extra": ""}
+    path = tmp_path / "regen.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert not scene.use_clusters
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: True)
+    film, acc_r, wt_r = simple_mod.render(pd, scene, seed=5, max_samples=50)
+    # determinism: same seed -> identical film
+    film, acc_r2, wt_r2 = simple_mod.render(pd, scene, seed=5, max_samples=50)
+    np.testing.assert_array_equal(np.asarray(acc_r), np.asarray(acc_r2))
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
+    film, acc_o, wt_o = simple_mod.render(pd, scene, seed=5, max_samples=50)
+
+    s = pd.project.renderer.spectrum_samples
+    expect_wt = 50 * film.width * film.height * s
+    np.testing.assert_allclose(float(np.asarray(wt_r).sum()), expect_wt, rtol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(wt_o).sum()), expect_wt, rtol=1e-6)
+
+    img_r = np.asarray(film.develop(acc_r, wt_r)).mean(axis=2)
+    img_o = np.asarray(film.develop(acc_o, wt_o)).mean(axis=2)
+    lit = img_o > 0.02
+    rel = np.abs(img_r - img_o)[lit] / img_o[lit]
+    assert np.median(rel) < 0.15, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.05)
+
+
+def test_regen_deep_bounces_matches_pool(tmp_path, monkeypatch):
+    """Deep budgets (>= POOL_MIN_BOUNCES) also ride regeneration on dense
+    scenes; per-path depth counters must enforce the same bounce budget the
+    one-shot loop's iteration count does."""
+    from pyrite_tpu.renderers import simple as simple_mod
+
+    src = SCENE % {"algo": "simple", "spp": 40, "extra": ""}
+    src = src.replace("bounces = 4", "bounces = 20")
+    path = tmp_path / "regen_deep.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: True)
+    film, acc_r, wt_r = simple_mod.render(pd, scene, seed=9, max_samples=40)
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
+    monkeypatch.setattr(simple_mod, "POOL_MIN_BOUNCES", 10_000)
+    film, acc_o, wt_o = simple_mod.render(pd, scene, seed=9, max_samples=40)
+
+    s = pd.project.renderer.spectrum_samples
+    expect_wt = 40 * film.width * film.height * s
+    np.testing.assert_allclose(float(np.asarray(wt_r).sum()), expect_wt, rtol=1e-6)
+
+    img_r = np.asarray(film.develop(acc_r, wt_r)).mean(axis=2)
+    img_o = np.asarray(film.develop(acc_o, wt_o)).mean(axis=2)
+    lit = img_o > 0.02
+    rel = np.abs(img_r - img_o)[lit] / img_o[lit]
+    assert np.median(rel) < 0.15, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.05)
