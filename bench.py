@@ -197,7 +197,7 @@ def bench_simple_regen(scene_path, spp=16, reps=3):
 
     _, scene, film, camera, cfg = _build(scene_path)
     rows = pick_rows(film, scene, cfg)
-    planes = _regen_planes(film, rows)
+    planes = _regen_planes(film, rows, scene.use_clusters)
     chunks = film.height // rows
     pix = rows * film.width
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
@@ -247,7 +247,7 @@ def bench_regen_spp(scene_path, spp=16, reps=2):
 
     _, scene, film, camera, cfg = _build(scene_path)
     rows = pick_rows(film, scene, cfg)
-    planes = _regen_planes(film, rows)
+    planes = _regen_planes(film, rows, scene.use_clusters)
     chunks = film.height // rows
     pix = rows * film.width
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)

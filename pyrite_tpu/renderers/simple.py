@@ -196,6 +196,16 @@ def regen_enabled() -> bool:
     return os.environ.get("PYRITE_TPU_REGEN", "1") == "1"
 
 
+def regen_clusters_enabled() -> bool:
+    """Opt-in regen for cluster (wide-BVH) scenes: the traversal is bound by
+    per-walk-iteration dispatch, so regen's occupancy win shrinks the number
+    of bounce iterations per sample (bounces / E[path length]) rather than
+    the per-iteration cost. Off by default until measured on TPU."""
+    import os
+
+    return os.environ.get("PYRITE_TPU_REGEN_CLUSTERS", "0") == "1"
+
+
 def _accumulate_lane_bins(film: Film, acc_l, wt_l, wavelengths, brightness, aux_alive, complete):
     """Per-lane spectral-bin accumulation for completed paths: the same
     one-hot wavelength->bin contraction as expose_lanes, but into [N, bins]
@@ -351,9 +361,11 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
     return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
 
-def _regen_planes(film: Film, rows: int) -> int:
+def _regen_planes(film: Film, rows: int, use_clusters: bool = False) -> int:
+    # cluster scenes keep the tuned 32k-lane walk width (CLAUDE.md)
+    target = 32768 if use_clusters else REGEN_TARGET_LANES
     pix = rows * film.width
-    return max(1, min(REGEN_MAX_PLANES, REGEN_TARGET_LANES // max(pix, 1)))
+    return max(1, min(REGEN_MAX_PLANES, target // max(pix, 1)))
 
 
 def _render_regen(
@@ -366,7 +378,7 @@ def _render_regen(
     sequential renderer exactly)."""
     import numpy as np
 
-    planes = _regen_planes(film, rows)
+    planes = _regen_planes(film, rows, scene.use_clusters)
     chunks = film.height // rows
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
     if spp_chunk is None:
@@ -874,7 +886,7 @@ def _render_regen_sharded(
     n_dev = mesh.devices.size
     data = scene.device_data()
     chunks = film.height // rows
-    planes = _regen_planes(film, rows)
+    planes = _regen_planes(film, rows, scene.use_clusters)
     pix = rows * film.width
     n = pix * planes
 
