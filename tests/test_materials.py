@@ -164,3 +164,48 @@ def test_bank_table_matches_exact_eval():
     scene_mod.bake_bank_tables(small, (380.0, 780.0))
     assert small.color_bank_bakeable is None
     assert "color_bank" not in small.arrays
+
+
+def test_bank_table_cost_independent_of_program_count():
+    """VERDICT item: material-heavy scenes must not pay O(P) per bounce.
+    With the baked [P, G] bank table, eval_color_bank is one table gather
+    regardless of P — its jaxpr must not grow with the program count
+    (64 programs vs 8 programs: same equation count)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyrite_tpu import exprs, scene as scene_mod, tracer
+    from pyrite_tpu.project import ir
+
+    def build(p_count):
+        sc = scene_mod.Scene()
+        sc.resources = exprs.Resources()
+        rng = np.random.default_rng(3)
+        for i in range(p_count):
+            expr = ir.ComplexExpression(
+                "rgb",
+                {"red": float(rng.uniform()), "green": float(rng.uniform()),
+                 "blue": float(rng.uniform())},
+            )
+            sc.color_programs.append(
+                exprs.compile_program(expr, sc.resources, exprs.NUMBER)
+            )
+        scene_mod.bake_bank_tables(sc, (380.0, 780.0))
+        assert sc.color_bank_bakeable is not None
+        # renders bind device arrays (scene.bind); tracing needs jnp here
+        sc.arrays["color_bank"] = jnp.asarray(sc.arrays["color_bank"])
+        return sc
+
+    def count_eqns(sc):
+        wl = jnp.zeros((32, 4)) + 500.0
+        prog_id = jnp.zeros(32, jnp.int32)
+        jaxpr = jax.make_jaxpr(
+            lambda w, p: tracer.eval_color_bank(
+                sc, p, exprs.ProgramInputs(wavelength=w)
+            )
+        )(wl, prog_id)
+        return len(jaxpr.jaxpr.eqns)
+
+    small, big = count_eqns(build(8)), count_eqns(build(64))
+    assert big == small, f"bank eval grew with program count: {small} -> {big}"
