@@ -72,6 +72,29 @@ def make_develop_sample_fn(project_data, scene, span):
     return sample_fn
 
 
+def _run_render(args, algorithm_mod, project_data, scene, on_progress, resume):
+    if args.multi_device and len(jax.devices()) > 1:
+        from .parallel import make_mesh
+
+        return algorithm_mod.render_sharded(
+            project_data,
+            scene,
+            make_mesh(),
+            seed=args.seed,
+            on_progress=on_progress,
+            max_samples=args.samples,
+            resume=resume,
+        )
+    return algorithm_mod.render(
+        project_data,
+        scene,
+        seed=args.seed,
+        on_progress=on_progress,
+        max_samples=args.samples,
+        resume=resume,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="pyrite-tpu", description="TPU-native spectral path tracer"
@@ -98,6 +121,14 @@ def main(argv=None):
         help="film checkpoint path (.npz): resumed from if present, written "
         "at every preview interval (the reference loses all accumulation on "
         "a crash; this does not)",
+    )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="write a JAX profiler trace of the render phase to DIR "
+        "(viewable with TensorBoard / Perfetto; the reference has no "
+        "profiler hooks, SURVEY.md section 5)",
     )
     args = parser.parse_args(argv)
 
@@ -165,30 +196,21 @@ def main(argv=None):
             state["last_preview"] = now
 
     rendering_started = time.time()
-    if args.multi_device and len(jax.devices()) > 1:
-        from .parallel import make_mesh
+    import contextlib
 
-        film, acc, wt = algorithm_mod.render_sharded(
-            project_data,
-            scene,
-            make_mesh(),
-            seed=args.seed,
-            on_progress=on_progress,
-            max_samples=args.samples,
-            resume=resume,
-        )
-    else:
-        film, acc, wt = algorithm_mod.render(
-            project_data,
-            scene,
-            seed=args.seed,
-            on_progress=on_progress,
-            max_samples=args.samples,
-            resume=resume,
+    profile_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+    with profile_ctx:
+        film, acc, wt = _run_render(
+            args, algorithm_mod, project_data, scene, on_progress, resume
         )
     float(acc.sum())  # axon: only a fetch forces completion
     rendering_ended = time.time()
-
+    if args.profile:
+        print(f"\nProfiler trace written to {args.profile}")
     samples = args.samples or settings.pixel_samples
     lanes = project_data.project.image.width * project_data.project.image.height
     rays = lanes * samples * settings.bounces * (1 + settings.light_samples)
