@@ -344,6 +344,22 @@ def bench_terrain(steps=3):
     return bench_simple(lua, steps=steps)[0], tris
 
 
+def bench_dragon_bdpt(samples=3):
+    """Steady-state spp/s of the dragon workload class: 871k-triangle mesh,
+    BDPT with bounces 20 / light_bounces 256 (the reference's dragon.lua
+    configuration over the synthetic heightfield — the real OBJ is a
+    stripped blob). Exercises the two-phase compacted-connection BDPT path
+    and the wide-BVH cluster traversal together."""
+    import tempfile
+
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from tools.synthetic import dragon_scene
+
+    lua, tris = dragon_scene(tempfile.mkdtemp(), cells=660)
+    return bench_render_spp(lua, samples=samples, warm=1), tris
+
+
 def main():
     extras = []
 
@@ -411,6 +427,19 @@ def main():
         )
     except Exception as error:
         extras.append({"metric": "terrain Mrays/sec", "error": repr(error)})
+
+    try:
+        dragon_spp, dragon_tris = bench_dragon_bdpt()
+        extras.append(
+            {
+                "metric": f"sampling rate, synthetic dragon-class {dragon_tris} tris "
+                "bidirectional (20/256 bounces)",
+                "value": round(dragon_spp, 4),
+                "unit": "spp/sec",
+            }
+        )
+    except Exception as error:
+        extras.append({"metric": "dragon-class bdpt spp/sec", "error": repr(error)})
 
     try:
         ttn = bench_time_to_noise(spheres)

@@ -91,6 +91,72 @@ return {
 """
 
 
+DRAGON_SCENE = """
+return {
+    image = {width = %(w)d, height = %(h)d},
+    camera = camera.perspective {
+        fov = 60,
+        transform = transform.look_at {
+            from = vector(0, 6, -4), to = vector(0, 0, 10),
+        },
+    },
+    renderer = renderer.bidirectional {
+        pixel_samples = %(spp)d,
+        spectrum_samples = 4,
+        light_samples = 1,
+        bounces = %(bounces)d,
+        light_bounces = %(light_bounces)d,
+    },
+    world = {
+        sky = 0.4,
+        objects = {
+            shape.mesh {
+                file = "%(obj)s", materials = {
+                    terrain = {surface = material.diffuse {color = 0.7}},
+                },
+            },
+            shape.sphere {
+                radius = 2.0, position = vector(0, 14, 10),
+                material = {surface = material.emissive {color = light_source.d65 * 4}},
+            },
+        },
+    },
+}
+"""
+
+
+def dragon_scene(
+    tmpdir: str,
+    cells: int = 660,
+    width: int = 256,
+    height: int = 128,
+    spp: int = 4,
+    bounces: int = 20,
+    light_bounces: int = 256,
+):
+    """Dragon-class workload stand-in: the reference's dragon.lua is a
+    ~870k-tri OBJ (stripped blob, .MISSING_LARGE_BLOBS) rendered with BDPT at
+    bounces 20 / light_bounces 256 (test/dragon/dragon.lua:2-12). Same
+    renderer configuration over the synthetic heightfield (660 cells ->
+    871,200 triangles). Returns (lua_path, tri_count)."""
+    obj_path = os.path.join(tmpdir, f"terrain_{cells}.obj")
+    tris = terrain_obj(obj_path, cells)
+    lua_path = os.path.join(tmpdir, f"dragon_{cells}.lua")
+    with open(lua_path, "w") as fh:
+        fh.write(
+            DRAGON_SCENE
+            % {
+                "w": width,
+                "h": height,
+                "spp": spp,
+                "bounces": bounces,
+                "light_bounces": light_bounces,
+                "obj": obj_path,
+            }
+        )
+    return lua_path, tris
+
+
 def terrain_scene(
     tmpdir: str,
     cells: int = 405,
