@@ -665,7 +665,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
 
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
 
-    if not scene.use_clusters and regen_enabled():
+    if regen_enabled() and (not scene.use_clusters or regen_clusters_enabled()):
         return _render_regen(
             scene, film, camera, cfg, rows, acc, wt, data, seed,
             start_sample, total, on_progress,
@@ -836,7 +836,7 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         settings.pixel_samples, max_samples
     )
 
-    if not scene.use_clusters and regen_enabled():
+    if regen_enabled() and (not scene.use_clusters or regen_clusters_enabled()):
         rows = pick_rows(film, scene, cfg)
         return _render_regen_sharded(
             scene, film, camera, cfg, rows, mesh, seed, total,

@@ -463,3 +463,39 @@ def test_regen_deep_bounces_matches_pool(tmp_path, monkeypatch):
     rel = np.abs(img_r - img_o)[lit] / img_o[lit]
     assert np.median(rel) < 0.15, f"median rel {np.median(rel):.3f}"
     np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.05)
+
+
+def test_regen_scheduler_on_cluster_scene(tmp_path, monkeypatch):
+    """Cluster (wide-BVH) scenes can opt into path regeneration
+    (PYRITE_TPU_REGEN_CLUSTERS, simple.regen_clusters_enabled): exact sample
+    counts and one-shot-matching radiance on a >1024-prim mesh scene."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu.renderers import simple as simple_mod
+
+    lua, tris = terrain_scene(str(tmp_path), cells=24, width=24, height=12, spp=8, bounces=3)
+    pd = load_project(lua)
+    scene = build_scene(pd)
+    assert scene.use_clusters
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: True)
+    monkeypatch.setattr(simple_mod, "regen_clusters_enabled", lambda: True)
+    film, acc_r, wt_r = simple_mod.render(pd, scene, seed=2, max_samples=8)
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
+    film, acc_o, wt_o = simple_mod.render(pd, scene, seed=2, max_samples=8)
+
+    s = pd.project.renderer.spectrum_samples
+    expect_wt = 8 * film.width * film.height * s
+    np.testing.assert_allclose(float(np.asarray(wt_r).sum()), expect_wt, rtol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(wt_o).sum()), expect_wt, rtol=1e-6)
+
+    img_r = np.asarray(film.develop(acc_r, wt_r)).mean(axis=2)
+    img_o = np.asarray(film.develop(acc_o, wt_o)).mean(axis=2)
+    lit = img_o > 0.02
+    rel = np.abs(img_r - img_o)[lit] / img_o[lit]
+    assert np.median(rel) < 0.2, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.08)
