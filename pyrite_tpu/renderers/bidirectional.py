@@ -36,7 +36,7 @@ from ..tracer import (
     intersect_shadow,
     trace_lamp_path,
 )
-from .simple import RenderProgress, chunk_rays
+from .simple import RenderProgress, chunk_order, chunk_rays, regen_enabled
 
 # cap on lanes*(L+1)*S to keep lamp-path arrays within memory
 _LANE_BUDGET = 48_000_000
@@ -168,16 +168,25 @@ def _compact_connections(conn, k_new: int):
     }
 
 
-def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt):
+def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_lanes=None):
     """Light-tracing splats (bidirectional.rs:253-306).
 
     All lamp slots are projected and shadow-tested in ONE flattened
     [N*(L+1)] batch and exposed with a single film scatter (the reference's
-    per-vertex loop costs (L+1) serial dispatch rounds on this machine)."""
+    per-vertex loop costs (L+1) serial dispatch rounds on this machine).
+
+    ``scale_lanes`` ([N] float): per-lane splat multiplicity. The camera-
+    regeneration scheduler reuses one lamp path for all of a lane's samples
+    in a launch; exposing its splats once with weight (and value) scaled by
+    the completed sample count is exactly equivalent to exposing the same
+    splat once per sample, preserving the reference's per-sample technique
+    mix in the film's weighted average."""
     n, slots = conn["conn_ok"].shape
     s_count = wavelengths.shape[1]
     len_lamp = jnp.maximum(conn["length"], 1)
     splat_weight = 1.0 / len_lamp.astype(jnp.float32)
+    if scale_lanes is not None:
+        splat_weight = splat_weight * scale_lanes
     pp, aux_ok, u = conn["pp"], conn["aux_ok"], conn["splat_u"]
 
     flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
@@ -435,6 +444,441 @@ def make_render_step(
     return jax.jit(chunk_step, donate_argnums=(0, 1)) if jit else chunk_step
 
 
+# =============================================================================
+# Camera-side path regeneration (deep camera budgets)
+# =============================================================================
+#
+# Snowflake-class scenes run 256 camera bounces but the mean camera path is
+# ~2 bounces long (measured survival at 4k lanes: 28%/27%/10%/8%... dead by
+# ~64), so the one-shot camera walk's whole-batch early exit still executes
+# ~30x more masked lane-bounces than useful ones. The camera walk adopts the
+# simple renderer's path-regeneration scheduler (simple.make_regen_step):
+# lanes own fixed pixels; a finished sample is exposed into per-lane bin
+# accumulators and the lane immediately restarts a fresh camera sample.
+#
+# BDPT couples every sample's wavelengths to its lamp path (dispersion makes
+# the lamp path's geometry and prefix products hero-wavelength-dependent),
+# so a regenerated sample cannot simply redraw wavelengths against a fixed
+# lamp path. Each launch therefore pre-traces one (wavelengths, lamp path)
+# ROUND per sample — R rounds = the launch's sample count, traced
+# sequentially on the host at one-shot capacity, compacted, and pad-stacked
+# into [n, R, K'] trees; sample k of a lane uses round k, gathered into the
+# loop carry when the lane regenerates. Every sample therefore pairs with
+# its own fresh lamp path and wavelengths, exactly like the one-shot walk
+# (no light-path reuse; an earlier reuse variant measured a ~2% low film
+# ratio-estimator bias from the value/weight correlation it introduced).
+# The R wavelength draws are sub-stratified across rounds (round r jitters
+# within [r/R, (r+1)/R) of each spectral stratum) — same marginal
+# distribution as the one-shot path's iid draws, strictly lower variance.
+# Each round's light-tracing splats are exposed right after its lamp trace
+# (they are independent of the camera walk), so splat fields never ride the
+# stacked trees.
+
+REGEN_BDPT_MIN_BOUNCES = 16  # below this the one-shot walk is fine
+REGEN_BDPT_SPP_CHUNK = 32  # samples (= lamp-path rounds) per launch
+
+
+def _accumulate_lane_sums(film: Film, acc_l, wt_l, wavelengths, value_sums, weight_sums):
+    """Per-lane (value, weight) accumulation into [N, bins] buffers — the
+    expose_sums analogue of simple._accumulate_lane_bins."""
+    bins = film.wavelength_to_bin(wavelengths)  # [N, S]
+    onehot = (
+        bins[:, :, None] == jnp.arange(film.bins, dtype=bins.dtype)[None, None, :]
+    ).astype(value_sums.dtype)
+    acc_l = acc_l + jnp.einsum("ns,nsb->nb", value_sums, onehot)
+    wt_l = wt_l + jnp.einsum("ns,nsb->nb", weight_sums, onehot)
+    return acc_l, wt_l
+
+
+def make_regen_bdpt_steps(
+    scene: Scene,
+    film: Film,
+    camera: CameraModel,
+    cfg: TraceConfig,
+    light_bounces: int,
+    rows: int,
+    rounds: int,
+    jit: bool = True,
+):
+    """(lamp_step, compact_step, splat_step, stack_rounds, cam_step) of the
+    camera-regeneration BDPT scheduler for launches of ``rounds`` samples:
+    lamp_step draws one round's wavelengths + lamp paths, splat_step exposes
+    that round's light-tracing splats, and cam_step completes ``spp_lane``
+    (<= rounds) camera samples per lane — sample k against round k —
+    regenerating dead lanes in place. Connection math is the one-shot
+    walk's (bidirectional.rs:310-398, one flattened shadow batch per
+    bounce)."""
+    from .simple import _accumulate_lane_bins
+
+    lamp_cfg = TraceConfig(
+        bounces=light_bounces,
+        light_samples=0,
+        spectrum_samples=cfg.spectrum_samples,
+        max_de_steps=cfg.max_de_steps,
+    )
+    w = film.width
+    n = rows * w
+    s = cfg.spectrum_samples
+    r_count = rounds
+
+    def lamp_step(key, data, round_index):
+        """One round's wavelength set + lamp paths + connection arrays at
+        full [n, L+1] capacity (rounds run sequentially on the host so the
+        full-capacity trace never exists more than once — deep light budgets
+        like dragon's 256 would not fit R copies)."""
+        with scene.bind(data):
+            # stratified wavelengths, the round's draw sub-stratified to
+            # slice r of each stratum; hero uniformly chosen (chunk_rays)
+            u = jax.random.uniform(jax.random.fold_in(key, 13), (n, s + 1))
+            u_strat = (round_index.astype(jnp.float32) + u[:, :s]) / r_count
+            wavelengths = film.sample_wavelengths(u_strat)
+            hero = jnp.minimum((u[:, s] * s).astype(jnp.int32), s - 1)
+            cols = jnp.arange(s)[None, :]
+            is_hero = cols == hero[:, None]
+            hero_wl = jnp.sum(
+                jnp.where(is_hero, wavelengths, 0.0), axis=1, keepdims=True
+            )
+            first_wl = wavelengths[:, :1]
+            wavelengths = jnp.where(
+                cols == 0, hero_wl, jnp.where(is_hero, first_wl, wavelengths)
+            )  # [n, S]
+
+            k_lamp, _, k_splat = jax.random.split(jax.random.fold_in(key, 11), 3)
+            path = trace_lamp_path(scene, lamp_cfg, k_lamp, wavelengths)
+            conn = _connection_arrays(scene, path, wavelengths, cfg, k_splat)
+            return conn, wavelengths, connectable_count(conn)
+
+    def compact_step(conn, k_new):
+        return _compact_connections(conn, k_new)
+
+    def splat_step(acc, wt, conn, wavelengths, data, scale):
+        """Expose one round's light-tracing splats (they depend only on the
+        lamp side, so they run during the lamp phase). ``scale`` [n]: number
+        of samples the round serves (1 — kept general for partial rounds)."""
+        with scene.bind(data):
+            return _light_splats(
+                scene, film, camera, cfg, conn, wavelengths, acc, wt,
+                scale_lanes=scale,
+            )
+
+    def stack_rounds(conns, wls):
+        """Pad each compacted round to the widest slot count and stack into
+        [n, R, K'] trees (+ wavelengths [n, R, S]). Padded slots are masked
+        inert (conn_ok False); splat fields are dropped (already exposed)."""
+        k_max = max(c["conn_ok"].shape[1] for c in conns)
+
+        def pad(x):
+            if x.ndim < 2 or x.shape[1] == k_max:
+                return x
+            widths = [(0, 0)] * x.ndim
+            widths[1] = (0, k_max - x.shape[1])
+            return jnp.pad(x, widths)
+
+        stacked = {}
+        for f in conns[0]:
+            if f in ("splat_u", "splat_ok"):
+                continue
+            if f == "length":
+                stacked[f] = jnp.stack([c[f] for c in conns], axis=1)
+            else:
+                stacked[f] = jnp.stack([pad(c[f]) for c in conns], axis=1)
+        return stacked, jnp.stack(wls, axis=1)
+
+    def cam_step(acc, wt, key, data, conn_r, wl_r, row0, spp_lane):
+      """``conn_r``: stacked [n, R, K'] connection trees (stack_rounds);
+      ``wl_r``: [n, R, S] per-round wavelengths."""
+      with scene.bind(data):
+        slots = conn_r["conn_ok"].shape[2]
+        k_gen = jax.random.fold_in(key, 7919)
+        k_tr = jax.random.fold_in(key, 7)
+        len_r = jnp.maximum(conn_r["length"], 1)  # [n, R]
+
+        def round_take(tree_field, ridx):
+            """Gather each lane's round-``ridx`` row of a [n, R, ...] tree."""
+            idx = ridx
+            while idx.ndim < tree_field.ndim:
+                idx = idx[..., None]
+            return jnp.take_along_axis(
+                tree_field, jnp.broadcast_to(idx, tree_field.shape[:1] + (1,) + tree_field.shape[2:]), axis=1
+            )[:, 0]
+
+        def fresh_rays(it_key):
+            u = jax.random.uniform(it_key, (n, 4))
+            py, px = jnp.meshgrid(
+                row0 + jnp.arange(rows), jnp.arange(w), indexing="ij"
+            )
+            pxf = px.reshape(-1) + u[:, 0]
+            pyf = py.reshape(-1) + u[:, 1]
+            positions = film.pixel_to_view(pxf, pyf)
+            return camera.ray_towards(positions, u[:, 2], u[:, 3])
+
+        state = {
+            "origin": jnp.zeros((n, 3)),
+            "direction": jnp.zeros((n, 3)).at[:, 2].set(1.0),
+            "brightness": jnp.zeros((n, s)),
+            "reflectance": jnp.ones((n, s)),
+            "alive": jnp.zeros(n, bool),
+            "aux_alive": jnp.ones(n, bool),
+            "sample_light": jnp.ones(n, bool),
+            "light_events": jnp.zeros(n, jnp.int32),
+        }
+        cur0 = {
+            "position": jnp.zeros((n, slots, 3)),
+            "normal": jnp.zeros((n, slots, 3)),
+            "pp": jnp.zeros((n, slots, s)),
+            "aux_ok": jnp.zeros((n, slots), bool),
+            "conn_ok": jnp.zeros((n, slots), bool),
+            "wl": jnp.full((n, s), film.span[0]),
+            "len_lamp": jnp.ones(n, jnp.int32),
+        }
+        carry = {
+            "i": jnp.int32(0),
+            "state": state,
+            "cur": cur0,
+            "acc_l": jnp.zeros((n, film.bins)),
+            "wt_l": jnp.zeros((n, film.bins)),
+            "done": jnp.zeros(n, jnp.int32),
+            "pend": jnp.zeros(n, bool),
+            "plen": jnp.zeros(n, jnp.int32),
+            "conn_vsum": jnp.zeros((n, s)),
+            "conn_cnt": jnp.zeros((n, s)),
+            "len_cam": jnp.zeros(n, jnp.int32),
+            "live": jnp.float32(0.0),
+        }
+        max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
+
+        def expose_complete(c, st):
+            """Fold completed samples into the lane accumulators: the
+            camera-path sample (weight 1, aux masked by dispersal) plus the
+            sample's connection sums at 1/(len_cam*len_lamp). Uses the
+            lane's CURRENT round wavelengths (the round only advances at
+            regeneration, after this exposure)."""
+            complete = c["pend"] & ~st["alive"]
+            acc_l, wt_l = _accumulate_lane_bins(
+                film, c["acc_l"], c["wt_l"], c["cur"]["wl"], st["brightness"],
+                st["aux_alive"], complete,
+            )
+            total = jnp.maximum(c["len_cam"] * c["cur"]["len_lamp"], 1)
+            w_conn = jnp.where(complete, 1.0 / total.astype(jnp.float32), 0.0)
+            acc_l, wt_l = _accumulate_lane_sums(
+                film, acc_l, wt_l, c["cur"]["wl"],
+                c["conn_vsum"] * w_conn[:, None],
+                c["conn_cnt"] * w_conn[:, None],
+            )
+            return acc_l, wt_l, complete
+
+        def cond(c):
+            return jnp.any(c["state"]["alive"] | (c["done"] < spp_lane)) & (
+                c["i"] < max_iters
+            )
+
+        def body(c):
+            st = c["state"]
+            # 1) expose paths that completed last bounce
+            acc_l, wt_l, complete = expose_complete(c, st)
+            done = c["done"] + complete.astype(jnp.int32)
+            pend = c["pend"] & st["alive"]
+            # 2) regenerate: fresh camera sample at the lane's pixel, with
+            # the lane's next-round wavelengths + lamp-path connection row
+            reg = ~st["alive"] & (done < spp_lane)
+            ridx = (done % r_count)[:, None]  # [n, 1]
+            cur = c["cur"]
+
+            def swap(old, tree_field):
+                new = round_take(tree_field, ridx)
+                keep = reg
+                while keep.ndim < old.ndim:
+                    keep = keep[..., None]
+                return jnp.where(keep, new, old)
+
+            cur = {
+                "position": swap(cur["position"], conn_r["position"]),
+                "normal": swap(cur["normal"], conn_r["normal"]),
+                "pp": swap(cur["pp"], conn_r["pp"]),
+                "aux_ok": swap(cur["aux_ok"], conn_r["aux_ok"]),
+                "conn_ok": swap(cur["conn_ok"], conn_r["conn_ok"]),
+                "wl": swap(cur["wl"], wl_r),
+                "len_lamp": jnp.where(reg, round_take(len_r, ridx), cur["len_lamp"]),
+            }
+            o2, d2 = fresh_rays(jax.random.fold_in(k_gen, c["i"]))
+            rc = reg[:, None]
+            st = {
+                "origin": jnp.where(rc, o2, st["origin"]),
+                "direction": jnp.where(rc, d2, st["direction"]),
+                "brightness": jnp.where(rc, 0.0, st["brightness"]),
+                "reflectance": jnp.where(rc, 1.0, st["reflectance"]),
+                "alive": st["alive"] | reg,
+                "aux_alive": jnp.where(reg, True, st["aux_alive"]),
+                "sample_light": jnp.where(reg, True, st["sample_light"]),
+                "light_events": jnp.where(reg, 0, st["light_events"]),
+            }
+            pend = pend | reg
+            plen = jnp.where(reg, 0, c["plen"])
+            conn_vsum = jnp.where(rc, 0.0, c["conn_vsum"])
+            conn_cnt = jnp.where(rc, 0.0, c["conn_cnt"])
+            len_cam = jnp.where(reg, 0, c["len_cam"])
+            live = c["live"] + jnp.sum(st["alive"].astype(jnp.float32))
+
+            # 3) one bounce + connections for every live lane
+            new_state, info = bounce_core(
+                scene, cfg, cur["wl"], st, jax.random.fold_in(k_tr, c["i"])
+            )
+            if scene.num_lamps > 0:
+                # connect_paths (bidirectional.rs:310-398): one flattened
+                # [n*K] shadow batch per bounce, identical math to the
+                # one-shot walk's scan_body
+                cam_ok = info["is_diffuse"]
+                dirvec = cur["position"] - info["position"][:, None, :]
+                sqd = jnp.sum(dirvec * dirvec, axis=-1)
+                dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
+                conn_dir = dirvec / dist[..., None]
+
+                cos_out_s = jnp.sum(info["normal"][:, None, :] * conn_dir, axis=-1)
+                cos_in_s = jnp.sum(cur["normal"] * -conn_dir, axis=-1)
+                good = cam_ok[:, None] & cur["conn_ok"]
+                good &= cos_out_s > 0.0
+                good &= cos_in_s > 0.0
+
+                flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
+                origin_f = jnp.broadcast_to(
+                    info["position"][:, None, :], (n, slots, 3)
+                )
+                dist_f = flat(dist)
+                t_hit = intersect_shadow(
+                    scene, flat(origin_f), flat(conn_dir), cfg,
+                    max_dist=dist_f, block_below=dist_f - DIST_EPSILON,
+                )
+                blocked = (
+                    jnp.isfinite(t_hit) & (t_hit < dist_f - DIST_EPSILON)
+                ).reshape(n, slots)
+                good &= ~blocked
+
+                brdf_conn = 2.0 * jnp.abs(cos_out_s)
+                brdf_ratio = brdf_conn / jnp.maximum(
+                    info["brdf_stored"][:, None], 1e-20
+                )
+                scale = (
+                    jnp.abs(cos_in_s)
+                    * jnp.abs(cos_out_s)
+                    * brdf_ratio
+                    / (2.0 * jnp.pi * jnp.maximum(sqd, 1e-20))
+                )
+
+                delta = (
+                    new_state["reflectance"][:, None, :]
+                    * scale[..., None]
+                    * cur["pp"]
+                )
+                value = new_state["brightness"][:, None, :] + delta
+                aux_take = new_state["aux_alive"][:, None] & cur["aux_ok"]
+                cols = jnp.concatenate(
+                    [
+                        jnp.ones((n, slots, 1), bool),
+                        jnp.broadcast_to(aux_take[..., None], (n, slots, s - 1)),
+                    ],
+                    axis=2,
+                )
+                take = good[..., None] & cols
+                conn_vsum = conn_vsum + jnp.sum(jnp.where(take, value, 0.0), axis=1)
+                conn_cnt = conn_cnt + jnp.sum(take.astype(jnp.float32), axis=1)
+
+            len_cam = len_cam + info["recorded"].astype(jnp.int32)
+            # per-path depth budget (the one-shot walk's iteration bound)
+            plen = plen + new_state["alive"].astype(jnp.int32)
+            new_state["alive"] = new_state["alive"] & (plen < cfg.bounces)
+            return {
+                "i": c["i"] + 1, "state": new_state, "cur": cur,
+                "acc_l": acc_l, "wt_l": wt_l, "done": done, "pend": pend,
+                "plen": plen, "conn_vsum": conn_vsum, "conn_cnt": conn_cnt,
+                "len_cam": len_cam, "live": live,
+            }
+
+        c = jax.lax.while_loop(cond, body, carry)
+        # drain: the final iteration's deaths were never exposed in-loop
+        acc_l, wt_l, _ = expose_complete(c, c["state"])
+
+        # write the lane accumulators into the film's row window
+        flat_acc = acc.reshape(film.height * w, film.bins)
+        flat_wt = wt.reshape(film.height * w, film.bins)
+        start = row0 * w
+        flat_acc = jax.lax.dynamic_update_slice_in_dim(
+            flat_acc,
+            jax.lax.dynamic_slice_in_dim(flat_acc, start, n) + acc_l,
+            start, axis=0,
+        )
+        flat_wt = jax.lax.dynamic_update_slice_in_dim(
+            flat_wt,
+            jax.lax.dynamic_slice_in_dim(flat_wt, start, n) + wt_l,
+            start, axis=0,
+        )
+        acc = flat_acc.reshape(acc.shape)
+        wt = flat_wt.reshape(wt.shape)
+
+        executed = c["i"].astype(jnp.float32) * n
+        return acc, wt, c["live"], executed
+
+    if not jit:
+        return lamp_step, compact_step, splat_step, stack_rounds, cam_step
+    return (
+        jax.jit(lamp_step),
+        jax.jit(compact_step, static_argnums=(1,)),
+        jax.jit(splat_step, donate_argnums=(0, 1)),
+        stack_rounds,  # host-side pad + stack of jitted outputs
+        jax.jit(cam_step, donate_argnums=(0, 1)),
+    )
+
+
+def _render_regen_bdpt(
+    scene, film, camera, cfg, light_bounces, rows, acc, wt, data, seed,
+    start_sample, total, on_progress,
+):
+    """Host driver: per launch of ``take`` samples, ``take`` sequential lamp
+    traces (each compacted to its connectable slot count, splats exposed
+    immediately, then pad-stacked) + one camera-regeneration walk; chunks
+    run center-out. Step sets are cached per launch size (the final partial
+    launch compiles a second set)."""
+    chunks = film.height // rows
+    pix = rows * film.width
+    slots = light_bounces + 1
+    compacting = slots > 16
+    base_key = jax.random.PRNGKey(seed)
+    order = chunk_order(chunks)
+    ones = jnp.ones(pix, jnp.float32)
+    steps_for = {}
+    done = start_sample
+    while done < total:
+        take = min(REGEN_BDPT_SPP_CHUNK, total - done)
+        if take not in steps_for:
+            steps_for[take] = make_regen_bdpt_steps(
+                scene, film, camera, cfg, light_bounces, rows, rounds=take
+            )
+        lamp_step, compact_step, splat_step, stack_rounds, cam_step = steps_for[take]
+        spp_lane = jnp.full(pix, take, jnp.int32)
+        for ci in order:
+            key = jax.random.fold_in(jax.random.fold_in(base_key, ci), done)
+            conns, wls = [], []
+            for r in range(take):
+                k_r = jax.random.fold_in(key, 1009 + r)
+                conn, wl, count = lamp_step(k_r, data, jnp.int32(r))
+                if compacting:
+                    k_new = 4
+                    while k_new < int(count) and k_new < slots:
+                        k_new *= 2
+                    k_new = min(k_new, slots)
+                    conn = compact_step(conn, k_new)
+                acc, wt = splat_step(acc, wt, conn, wl, data, ones)
+                conns.append(conn)
+                wls.append(wl)
+            conn_r, wl_r = stack_rounds(conns, wls)
+            acc, wt, _, _ = cam_step(
+                acc, wt, key, data, conn_r, wl_r, ci * rows, spp_lane
+            )
+        done += take
+        if on_progress is not None:
+            on_progress(RenderProgress(sample=done, total=total, acc=acc, wt=wt, film=film))
+    return film, acc, wt
+
+
 def pick_rows_per_chunk(
     film: Film, light_bounces: int, spectrum_samples: int, scene=None, bounces=8
 ) -> int:
@@ -478,18 +922,6 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
         scene=scene,
         bounces=settings.bounces,
     )
-    # deep light budgets ride the two-phase compacted-connection path; at
-    # small L the full-capacity fused step is already cheap (and avoids the
-    # extra host sync per chunk)
-    two_phase = settings.light_bounces + 1 > 16
-    if two_phase:
-        lamp_step, compact_step, cam_step = make_render_step(
-            scene, film, camera, cfg, settings.light_bounces, rows,
-            two_phase=True,
-        )
-    else:
-        step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
-
     acc, wt = film.new_buffers()
     start_sample = 0
     if resume is not None:
@@ -502,12 +934,32 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
     )
+
+    # deep camera budgets: regenerate camera samples in place (snowflake
+    # runs 256 camera bounces with ~2-bounce mean paths — the one-shot walk
+    # executes ~30x masked work)
+    if cfg.bounces >= REGEN_BDPT_MIN_BOUNCES and regen_enabled():
+        return _render_regen_bdpt(
+            scene, film, camera, cfg, settings.light_bounces, rows, acc, wt,
+            data, seed, start_sample, total, on_progress,
+        )
+
+    # deep light budgets ride the two-phase compacted-connection path; at
+    # small L the full-capacity fused step is already cheap (and avoids the
+    # extra host sync per chunk)
+    two_phase = settings.light_bounces + 1 > 16
+    if two_phase:
+        lamp_step, compact_step, cam_step = make_render_step(
+            scene, film, camera, cfg, settings.light_bounces, rows,
+            two_phase=True,
+        )
+    else:
+        step = make_render_step(scene, film, camera, cfg, settings.light_bounces, rows)
+
     chunks = film.height // rows
     import numpy as np
 
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed), total * chunks))
-    from .simple import chunk_order
-
     order = chunk_order(chunks)
     slots = settings.light_bounces + 1
     for i in range(start_sample, total):

@@ -499,3 +499,43 @@ def test_regen_scheduler_on_cluster_scene(tmp_path, monkeypatch):
     rel = np.abs(img_r - img_o)[lit] / img_o[lit]
     assert np.median(rel) < 0.2, f"median rel {np.median(rel):.3f}"
     np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.08)
+
+
+def test_regen_bdpt_matches_one_shot(tmp_path, monkeypatch):
+    """Deep camera budgets (>= REGEN_BDPT_MIN_BOUNCES) ride camera-side path
+    regeneration in the BDPT renderer: every sample pairs with its own lamp
+    path and wavelengths (rounds == launch sample count), splats are exposed
+    per round, and finished camera samples accumulate into per-lane bins.
+    The estimator must match the one-shot walk statistically, with the same
+    total film weight up to connection-count noise."""
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    src = SCENE % {"algo": "bidirectional", "spp": 60, "extra": ""}
+    src = src.replace("bounces = 4", "bounces = 20")
+    path = tmp_path / "regen_bdpt.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert pd.project.renderer.bounces >= bdpt_mod.REGEN_BDPT_MIN_BOUNCES
+
+    film, acc_r, wt_r = bdpt_mod.render(pd, scene, seed=4, max_samples=60)
+    # determinism: same seed -> identical film
+    film, acc_r2, _ = bdpt_mod.render(pd, scene, seed=4, max_samples=60)
+    np.testing.assert_array_equal(np.asarray(acc_r), np.asarray(acc_r2))
+
+    monkeypatch.setattr(bdpt_mod, "regen_enabled", lambda: False)
+    film, acc_o, wt_o = bdpt_mod.render(pd, scene, seed=4, max_samples=60)
+
+    # film weight: camera samples contribute exactly spp*pixels*S when no
+    # dispersal occurs; connection/splat weights are stochastic — bound the
+    # totals within a few percent of each other
+    tw_r = float(np.asarray(wt_r).sum())
+    tw_o = float(np.asarray(wt_o).sum())
+    np.testing.assert_allclose(tw_r, tw_o, rtol=0.03)
+
+    img_r = np.asarray(film.develop(acc_r, wt_r)).mean(axis=2)
+    img_o = np.asarray(film.develop(acc_o, wt_o)).mean(axis=2)
+    lit = img_o > 0.02
+    rel = np.abs(img_r - img_o)[lit] / img_o[lit]
+    assert np.median(rel) < 0.2, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.06)
