@@ -982,6 +982,192 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     return film, acc, wt
 
 
+def _render_regen_bdpt_sharded(
+    scene, film, camera, cfg, light_bounces, rows, mesh, seed, total,
+    on_progress=None, resume=None,
+):
+    """Camera-regeneration BDPT over the device mesh: each device runs the
+    single-device scheduler on its own film shard (its own lamp rounds,
+    wavelengths, and regen walk); a launch group advances up to
+    D * REGEN_BDPT_SPP_CHUNK samples, the remainder split across devices
+    via per-device sample targets and per-round splat scales. Film merge
+    stays the single psum at development time (parallel/mesh.py)."""
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import device_film_buffers, merge_films
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    data = scene.device_data()
+    chunks = film.height // rows
+    pix = rows * film.width
+    slots = light_bounces + 1
+    compacting = slots > 16
+    sharding = NamedSharding(mesh, P(axis))
+
+    start = 0
+    resume_films = None
+    if resume is not None:
+        resume_films = (resume["acc"], resume["wt"])
+        start = resume["samples_done"]
+    acc, wt = device_film_buffers(film, mesh, resume=resume_films)
+
+    def take0(tree):
+        return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+    def rep1(tree):
+        return jax.tree_util.tree_map(lambda x: x[None], tree)
+
+    steps_for = {}
+
+    def sharded_steps(rounds):
+        """Per-launch-size sharded step set (cached)."""
+        if rounds in steps_for:
+            return steps_for[rounds]
+        lamp_raw, compact_raw, splat_raw, _, cam_raw = make_regen_bdpt_steps(
+            scene, film, camera, cfg, light_bounces, rows, rounds=rounds,
+            jit=False,
+        )
+
+        def per_dev_lamp(keys, data, r):
+            conn, wl, count = lamp_raw(keys[0], data, r)
+            return rep1(conn), wl[None], count[None]
+
+        lamp = jax.jit(
+            shard_map(
+                per_dev_lamp, mesh=mesh,
+                in_specs=(P(axis), P(), P()), out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+        )
+
+        compact_fns = {}
+
+        def compact(conn, k_new):
+            if k_new not in compact_fns:
+
+                def per_dev_compact(conn):
+                    return rep1(compact_raw(take0(conn), k_new))
+
+                compact_fns[k_new] = jax.jit(
+                    shard_map(
+                        per_dev_compact, mesh=mesh,
+                        in_specs=(P(axis),), out_specs=P(axis),
+                        check_vma=False,
+                    )
+                )
+            return compact_fns[k_new](conn)
+
+        def per_dev_splat(acc, wt, conn, wl, data, scale):
+            acc2, wt2 = splat_raw(acc[0], wt[0], take0(conn), wl[0], data, scale[0])
+            return acc2[None], wt2[None]
+
+        splat = jax.jit(
+            shard_map(
+                per_dev_splat, mesh=mesh,
+                in_specs=(P(axis),) * 4 + (P(), P(axis)),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+        def per_dev_cam(acc, wt, keys, data, conn_r, wl_r, row0, spp_lane):
+            acc2, wt2, live, ex = cam_raw(
+                acc[0], wt[0], keys[0], data, take0(conn_r), wl_r[0], row0,
+                spp_lane[0],
+            )
+            return acc2[None], wt2[None]
+
+        cam = jax.jit(
+            shard_map(
+                per_dev_cam, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(), P(axis), P(axis), P(), P(axis)),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+        steps_for[rounds] = (lamp, compact, splat, cam)
+        return steps_for[rounds]
+
+    def stack_axis2(conns, wls):
+        """Pad each round's [D, n, K_r] trees to the widest K and stack into
+        [D, n, R, K'] (+ wavelengths [D, n, R, S])."""
+        k_max = max(c["conn_ok"].shape[2] for c in conns)
+
+        def pad(x):
+            if x.ndim < 3 or x.shape[2] == k_max:
+                return x
+            widths = [(0, 0)] * x.ndim
+            widths[2] = (0, k_max - x.shape[2])
+            return jnp.pad(x, widths)
+
+        stacked = {}
+        for f in conns[0]:
+            if f in ("splat_u", "splat_ok"):
+                continue
+            if f == "length":
+                stacked[f] = jnp.stack([c[f] for c in conns], axis=2)
+            else:
+                stacked[f] = jnp.stack([pad(c[f]) for c in conns], axis=2)
+        return stacked, jnp.stack(wls, axis=2)
+
+    base_key = jax.random.PRNGKey(seed)
+    order = chunk_order(chunks)
+    done = start
+    while done < total:
+        group_take = min(n_dev * REGEN_BDPT_SPP_CHUNK, total - done)
+        dev_base, dev_rem = divmod(group_take, n_dev)
+        take_d = np.array(
+            [dev_base + (1 if d < dev_rem else 0) for d in range(n_dev)],
+            np.int32,
+        )
+        rounds = int(take_d.max())
+        lamp, compact, splat, cam = sharded_steps(rounds)
+        spp_lane = jax.device_put(
+            np.repeat(take_d[:, None], pix, axis=1), sharding
+        )
+        for ci in order:
+            key_c = jax.random.fold_in(jax.random.fold_in(base_key, ci), done)
+            conns, wls = [], []
+            for r in range(rounds):
+                keys = jax.random.split(jax.random.fold_in(key_c, 1009 + r), n_dev)
+                conn, wl, counts = lamp(keys, data, jnp.int32(r))
+                if compacting:
+                    count = int(jnp.max(counts))
+                    k_new = 4
+                    while k_new < count and k_new < slots:
+                        k_new *= 2
+                    k_new = min(k_new, slots)
+                    conn = compact(conn, k_new)
+                # rounds beyond a device's sample target serve no samples:
+                # their splats expose at scale 0
+                scale = jax.device_put(
+                    np.repeat(
+                        (r < take_d).astype(np.float32)[:, None], pix, axis=1
+                    ),
+                    sharding,
+                )
+                acc, wt = splat(acc, wt, conn, wl, data, scale)
+                conns.append(conn)
+                wls.append(wl)
+            conn_r, wl_r = stack_axis2(conns, wls)
+            acc, wt = cam(
+                acc, wt,
+                jax.random.split(jax.random.fold_in(key_c, 7577), n_dev),
+                data, conn_r, wl_r, jnp.int32(ci * rows), spp_lane,
+            )
+        done += group_take
+        if on_progress is not None:
+            m_acc, m_wt = merge_films(acc, wt)
+            on_progress(RenderProgress(sample=done, total=total, acc=m_acc, wt=m_wt, film=film))
+    m_acc, m_wt = merge_films(acc, wt)
+    return film, m_acc, m_wt
+
+
 def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None, resume=None):
     """Multi-device BDPT: samples sharded over the mesh exactly like the
     simple renderer — the per-chunk step is already a pure film-delta
@@ -1010,11 +1196,22 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
         scene=scene,
         bounces=settings.bounces,
     )
-    step = make_render_step(
-        scene, film, camera, cfg, settings.light_bounces, rows, jit=False
-    )
     total = settings.pixel_samples if max_samples is None else min(
         settings.pixel_samples, max_samples
+    )
+
+    # deep camera budgets: per-device camera-regeneration walks (the
+    # single-device scheduler lifted onto the mesh; every device renders its
+    # own full set of samples per launch group, so D devices advance D
+    # samples per host sample index exactly like run_sharded)
+    if cfg.bounces >= REGEN_BDPT_MIN_BOUNCES and regen_enabled():
+        return _render_regen_bdpt_sharded(
+            scene, film, camera, cfg, settings.light_bounces, rows, mesh,
+            seed, total, on_progress=on_progress, resume=resume,
+        )
+
+    step = make_render_step(
+        scene, film, camera, cfg, settings.light_bounces, rows, jit=False
     )
     return run_sharded(
         step,

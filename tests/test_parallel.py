@@ -236,3 +236,39 @@ def test_sharded_regen_matches_single_device(tmp_path):
     )
     expected_wt = 64 * 16 * 16 * pd.project.renderer.spectrum_samples
     assert np.asarray(wt_r).sum() == pytest.approx(expected_wt)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_regen_bdpt_matches_single_device(tmp_path):
+    """Deep-camera-budget BDPT over the mesh rides per-device camera
+    regeneration (_render_regen_bdpt_sharded): per-device lamp rounds and
+    sample targets, remainder split exactly, one psum film merge."""
+    from pyrite_tpu.renderers import bidirectional
+
+    deep = BDPT_SCENE.replace("bounces = 3", "bounces = 20")
+    path = tmp_path / "scene.lua"
+    path.write_text(deep)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert pd.project.renderer.bounces >= bidirectional.REGEN_BDPT_MIN_BOUNCES
+
+    film, acc1, wt1 = bidirectional.render(pd, scene, seed=0, max_samples=30)
+    single = np.asarray(film.develop(acc1, wt1)).mean(axis=2)
+
+    from pyrite_tpu.parallel import make_mesh
+
+    # 30 samples over 4 devices: groups of 4x chunk, remainder split
+    mesh = make_mesh(jax.devices()[:4])
+    film, acc4, wt4 = bidirectional.render_sharded(
+        pd, scene, mesh, seed=1, max_samples=30
+    )
+    sharded = np.asarray(film.develop(acc4, wt4)).mean(axis=2)
+
+    # same estimator: film weight totals agree up to connection-count noise
+    np.testing.assert_allclose(
+        np.asarray(wt4).sum(), np.asarray(wt1).sum(), rtol=0.05
+    )
+    lit = single > 0.05
+    rel = np.abs(single - sharded)[lit] / single[lit]
+    assert np.median(rel) < 0.25
+    np.testing.assert_allclose(single[lit].mean(), sharded[lit].mean(), rtol=0.1)
