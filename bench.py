@@ -305,7 +305,10 @@ def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_eve
 
 def bench_render_spp(scene_path, algorithm="bidirectional", samples=4, warm=1):
     """Steady-state spp/s of a full renderer on a reference scene; the first
-    ``warm`` samples (jit compiles) are excluded from the rate."""
+    ``warm`` progress reports (jit compiles) are excluded from the rate.
+    Progress may arrive once per multi-sample launch (the regeneration
+    schedulers), so the rate uses reported sample-count deltas, not
+    callback counts."""
     import importlib
 
     from pyrite_tpu.project import load_project
@@ -315,18 +318,20 @@ def bench_render_spp(scene_path, algorithm="bidirectional", samples=4, warm=1):
     project_data = load_project(scene_path)
     scene = build_scene(project_data)
     times = []
+    counts = []
 
     def on_progress(progress):
         # dispatch is async on TPU: force completion before timestamping
         float(progress.acc.sum())
         times.append(time.time())
+        counts.append(progress.sample)
 
     mod.render(
         project_data, scene, seed=0, on_progress=on_progress, max_samples=samples
     )
     if len(times) < warm + 2:
         return float("nan")
-    return (len(times) - 1 - warm) / (times[-1] - times[warm])
+    return (counts[-1] - counts[warm]) / (times[-1] - times[warm])
 
 
 def bench_terrain(steps=3):
@@ -344,7 +349,7 @@ def bench_terrain(steps=3):
     return bench_simple(lua, steps=steps)[0], tris
 
 
-def bench_dragon_bdpt(samples=3):
+def bench_dragon_bdpt(samples=96):
     """Steady-state spp/s of the dragon workload class: 871k-triangle mesh,
     BDPT with bounces 20 / light_bounces 256 (the reference's dragon.lua
     configuration over the synthetic heightfield — the real OBJ is a
