@@ -175,12 +175,12 @@ def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_la
     [N*(L+1)] batch and exposed with a single film scatter (the reference's
     per-vertex loop costs (L+1) serial dispatch rounds on this machine).
 
-    ``scale_lanes`` ([N] float): per-lane splat multiplicity. The camera-
-    regeneration scheduler reuses one lamp path for all of a lane's samples
-    in a launch; exposing its splats once with weight (and value) scaled by
-    the completed sample count is exactly equivalent to exposing the same
-    splat once per sample, preserving the reference's per-sample technique
-    mix in the film's weighted average."""
+    ``scale_lanes`` ([N] float): per-lane splat multiplicity (the number of
+    camera samples a lamp path serves — 1 per round under the regen
+    scheduler, 0 for rounds beyond a device's sample target). Exposing a
+    splat once with weight (and value) scaled by that count is exactly
+    equivalent to exposing it once per sample, preserving the reference's
+    per-sample technique mix in the film's weighted average."""
     n, slots = conn["conn_ok"].shape
     s_count = wavelengths.shape[1]
     len_lamp = jnp.maximum(conn["length"], 1)
@@ -475,6 +475,15 @@ def make_render_step(
 # stacked trees.
 
 REGEN_BDPT_MIN_BOUNCES = 16  # below this the one-shot walk is fine
+
+
+def regen_bdpt_min_bounces() -> int:
+    """Camera-budget threshold for the regen scheduler; env-overridable so
+    shallow budgets (cornell's 4, colors' 8) can be A/B-measured on TPU
+    without a code change (PYRITE_TPU_REGEN_BDPT_MIN=1 forces regen on)."""
+    import os
+
+    return int(os.environ.get("PYRITE_TPU_REGEN_BDPT_MIN", REGEN_BDPT_MIN_BOUNCES))
 REGEN_BDPT_SPP_CHUNK = 32  # samples (= lamp-path rounds) per launch
 
 
@@ -938,7 +947,7 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     # deep camera budgets: regenerate camera samples in place (snowflake
     # runs 256 camera bounces with ~2-bounce mean paths — the one-shot walk
     # executes ~30x masked work)
-    if cfg.bounces >= REGEN_BDPT_MIN_BOUNCES and regen_enabled():
+    if cfg.bounces >= regen_bdpt_min_bounces() and regen_enabled():
         return _render_regen_bdpt(
             scene, film, camera, cfg, settings.light_bounces, rows, acc, wt,
             data, seed, start_sample, total, on_progress,
@@ -1204,7 +1213,7 @@ def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=
     # single-device scheduler lifted onto the mesh; every device renders its
     # own full set of samples per launch group, so D devices advance D
     # samples per host sample index exactly like run_sharded)
-    if cfg.bounces >= REGEN_BDPT_MIN_BOUNCES and regen_enabled():
+    if cfg.bounces >= regen_bdpt_min_bounces() and regen_enabled():
         return _render_regen_bdpt_sharded(
             scene, film, camera, cfg, settings.light_bounces, rows, mesh,
             seed, total, on_progress=on_progress, resume=resume,
