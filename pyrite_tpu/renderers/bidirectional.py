@@ -557,6 +557,47 @@ def make_regen_bdpt_steps(
             conn = _connection_arrays(scene, path, wavelengths, cfg, k_splat)
             return conn, wavelengths, connectable_count(conn)
 
+    def lamp_step_all(key, data):
+        """All R rounds' wavelengths + lamp paths in ONE n*R-lane launch —
+        used when the full-capacity arrays fit the lane budget (shallow
+        light budgets: no compaction needed, so the whole lamp phase is one
+        launch instead of R). Flat layout is lane-major: index = lane*R + r,
+        matching stack_rounds' [n, R, ...] reshape."""
+        with scene.bind(data):
+            u = jax.random.uniform(
+                jax.random.fold_in(key, 13), (n, r_count, s + 1)
+            )
+            ridx = jnp.arange(r_count, dtype=jnp.float32)[None, :, None]
+            u_strat = ((ridx + u[:, :, :s]) / r_count).reshape(n * r_count, s)
+            wavelengths = film.sample_wavelengths(u_strat)
+            hero = jnp.minimum(
+                (u[:, :, s].reshape(-1) * s).astype(jnp.int32), s - 1
+            )
+            cols = jnp.arange(s)[None, :]
+            is_hero = cols == hero[:, None]
+            hero_wl = jnp.sum(
+                jnp.where(is_hero, wavelengths, 0.0), axis=1, keepdims=True
+            )
+            first_wl = wavelengths[:, :1]
+            wavelengths = jnp.where(
+                cols == 0, hero_wl, jnp.where(is_hero, first_wl, wavelengths)
+            )  # [n*R, S]
+
+            k_lamp, _, k_splat = jax.random.split(jax.random.fold_in(key, 11), 3)
+            path = trace_lamp_path(scene, lamp_cfg, k_lamp, wavelengths)
+            conn = _connection_arrays(scene, path, wavelengths, cfg, k_splat)
+            return conn, wavelengths
+
+    def by_round(conn, wavelengths):
+        """Reshape lamp_step_all's flat [n*R, ...] outputs into the [n, R,
+        ...] trees cam_step consumes (splat fields dropped)."""
+        shaped = {
+            f: v.reshape((n, r_count) + v.shape[1:])
+            for f, v in conn.items()
+            if f not in ("splat_u", "splat_ok")
+        }
+        return shaped, wavelengths.reshape(n, r_count, s)
+
     def compact_step(conn, k_new):
         return _compact_connections(conn, k_new)
 
@@ -827,14 +868,24 @@ def make_regen_bdpt_steps(
         return acc, wt, c["live"], executed
 
     if not jit:
-        return lamp_step, compact_step, splat_step, stack_rounds, cam_step
-    return (
-        jax.jit(lamp_step),
-        jax.jit(compact_step, static_argnums=(1,)),
-        jax.jit(splat_step, donate_argnums=(0, 1)),
-        stack_rounds,  # host-side pad + stack of jitted outputs
-        jax.jit(cam_step, donate_argnums=(0, 1)),
-    )
+        return {
+            "lamp": lamp_step,
+            "lamp_all": lamp_step_all,
+            "by_round": by_round,
+            "compact": compact_step,
+            "splat": splat_step,
+            "stack": stack_rounds,
+            "cam": cam_step,
+        }
+    return {
+        "lamp": jax.jit(lamp_step),
+        "lamp_all": jax.jit(lamp_step_all),
+        "by_round": by_round,  # host-side reshape of jitted outputs
+        "compact": jax.jit(compact_step, static_argnums=(1,)),
+        "splat": jax.jit(splat_step, donate_argnums=(0, 1)),
+        "stack": stack_rounds,  # host-side pad + stack of jitted outputs
+        "cam": jax.jit(cam_step, donate_argnums=(0, 1)),
+    }
 
 
 def _render_regen_bdpt(
@@ -861,25 +912,36 @@ def _render_regen_bdpt(
             steps_for[take] = make_regen_bdpt_steps(
                 scene, film, camera, cfg, light_bounces, rows, rounds=take
             )
-        lamp_step, compact_step, splat_step, stack_rounds, cam_step = steps_for[take]
+        st = steps_for[take]
+        # shallow light budgets: one n*R-lane lamp launch + one splat per
+        # chunk; deep budgets trace rounds sequentially (full-capacity
+        # arrays would not fit R copies) and compact each round
+        batched = not compacting and pix * take * slots * cfg.spectrum_samples <= _LANE_BUDGET
         spp_lane = jnp.full(pix, take, jnp.int32)
         for ci in order:
             key = jax.random.fold_in(jax.random.fold_in(base_key, ci), done)
-            conns, wls = [], []
-            for r in range(take):
-                k_r = jax.random.fold_in(key, 1009 + r)
-                conn, wl, count = lamp_step(k_r, data, jnp.int32(r))
-                if compacting:
-                    k_new = 4
-                    while k_new < int(count) and k_new < slots:
-                        k_new *= 2
-                    k_new = min(k_new, slots)
-                    conn = compact_step(conn, k_new)
-                acc, wt = splat_step(acc, wt, conn, wl, data, ones)
-                conns.append(conn)
-                wls.append(wl)
-            conn_r, wl_r = stack_rounds(conns, wls)
-            acc, wt, _, _ = cam_step(
+            if batched:
+                conn, wl = st["lamp_all"](key, data)
+                acc, wt = st["splat"](
+                    acc, wt, conn, wl, data, jnp.ones(pix * take, jnp.float32)
+                )
+                conn_r, wl_r = st["by_round"](conn, wl)
+            else:
+                conns, wls = [], []
+                for r in range(take):
+                    k_r = jax.random.fold_in(key, 1009 + r)
+                    conn, wl, count = st["lamp"](k_r, data, jnp.int32(r))
+                    if compacting:
+                        k_new = 4
+                        while k_new < int(count) and k_new < slots:
+                            k_new *= 2
+                        k_new = min(k_new, slots)
+                        conn = st["compact"](conn, k_new)
+                    acc, wt = st["splat"](acc, wt, conn, wl, data, ones)
+                    conns.append(conn)
+                    wls.append(wl)
+                conn_r, wl_r = st["stack"](conns, wls)
+            acc, wt, _, _ = st["cam"](
                 acc, wt, key, data, conn_r, wl_r, ci * rows, spp_lane
             )
         done += take
@@ -1035,9 +1097,12 @@ def _render_regen_bdpt_sharded(
         """Per-launch-size sharded step set (cached)."""
         if rounds in steps_for:
             return steps_for[rounds]
-        lamp_raw, compact_raw, splat_raw, _, cam_raw = make_regen_bdpt_steps(
+        raw = make_regen_bdpt_steps(
             scene, film, camera, cfg, light_bounces, rows, rounds=rounds,
             jit=False,
+        )
+        lamp_raw, compact_raw, splat_raw, cam_raw = (
+            raw["lamp"], raw["compact"], raw["splat"], raw["cam"],
         )
 
         def per_dev_lamp(keys, data, r):
