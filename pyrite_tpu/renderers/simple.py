@@ -261,6 +261,10 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
         )
         return origin, direction, wavelengths
 
+    from .. import tracer as tracer_mod
+
+    deferred = scene.use_clusters and tracer_mod.merged_traversal_enabled()
+
     def step(acc, wt, key, data, row0, spp_lane):
         with scene.bind(data):
             k_gen = jax.random.fold_in(key, 7919)
@@ -328,7 +332,74 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                     "live": live,
                 }
 
-            c = jax.lax.while_loop(cond, body, carry)
+            def body_deferred(c):
+                """Deferred cluster bounce (tracer.merged_traversal_enabled):
+                shade against the carried hit, regenerate dead lanes, then
+                ONE merged traversal covers the bounce's NEE shadow batch and
+                every next ray (scattered + freshly regenerated) — one walk's
+                per-iteration dispatch per bounce instead of two serial
+                walks'. Exposure runs in-body (after the NEE delta lands) so
+                budget-killed lanes keep their final bounce's NEE."""
+                st = c["state"]
+                live = c["live"] + jnp.sum(st["alive"].astype(jnp.float32))
+                new_st, _, nee = bounce_core(
+                    scene, cfg, c["wl"], st, jax.random.fold_in(k_tr, c["i"]),
+                    hit=c["hit"], defer_nee=True,
+                )
+                plen = c["plen"] + new_st["alive"].astype(jnp.int32)
+                alive = new_st["alive"] & (plen < cfg.bounces)
+                complete = c["pend"] & ~alive
+                done = c["done"] + complete.astype(jnp.int32)
+                reg = ~alive & (done < spp_lane)
+                o2, d2, wl2 = fresh_rays(
+                    jax.random.fold_in(k_gen, c["i"] + 1), row0
+                )
+                rc = reg[:, None]
+                next_o = jnp.where(rc, o2, new_st["origin"])
+                next_d = jnp.where(rc, d2, new_st["direction"])
+                next_hit, delta = tracer_mod.merged_shadow_extension(
+                    scene, cfg, nee, next_o, next_d, alive | reg, s
+                )
+                brightness = new_st["brightness"]
+                if delta is not None:
+                    brightness = brightness + delta
+                acc_l, wt_l = _accumulate_lane_bins(
+                    film, c["acc_l"], c["wt_l"], c["wl"], brightness,
+                    new_st["aux_alive"], complete,
+                )
+                wl = jnp.where(rc, wl2, c["wl"])
+                state2 = {
+                    "origin": next_o,
+                    "direction": next_d,
+                    "brightness": jnp.where(rc, 0.0, brightness),
+                    "reflectance": jnp.where(rc, 1.0, new_st["reflectance"]),
+                    "alive": alive | reg,
+                    "aux_alive": jnp.where(reg, True, new_st["aux_alive"]),
+                    "sample_light": jnp.where(reg, True, new_st["sample_light"]),
+                    "light_events": jnp.where(reg, 0, new_st["light_events"]),
+                }
+                return {
+                    "i": c["i"] + 1, "state": state2, "hit": next_hit,
+                    "wl": wl, "acc_l": acc_l, "wt_l": wt_l, "done": done,
+                    "pend": (c["pend"] & alive) | reg,
+                    "plen": jnp.where(reg, 0, plen), "live": live,
+                }
+
+            if deferred:
+                # pre-loop regeneration of every lane with work, so the first
+                # shade has a hit to consume (in-loop regen rides the merged
+                # traversal thereafter)
+                has = spp_lane > 0
+                o0, d0, wl0 = fresh_rays(jax.random.fold_in(k_gen, 0), row0)
+                st0 = _trace_state(o0, d0, s)
+                st0["alive"] = has
+                carry["state"] = st0
+                carry["wl"] = wl0
+                carry["pend"] = has
+                carry["hit"] = tracer_mod.intersect_scene(scene, o0, d0, cfg)
+                c = jax.lax.while_loop(cond, body_deferred, carry)
+            else:
+                c = jax.lax.while_loop(cond, body, carry)
             # drain: the final iteration's deaths were never exposed in-loop
             st = c["state"]
             complete = c["pend"] & ~st["alive"]

@@ -472,6 +472,63 @@ def intersect_scene(scene: Scene, origin, direction, cfg: TraceConfig):
     return best
 
 
+def intersect_merged(scene: Scene, origin, direction, cfg: TraceConfig, t_seed, exit_below, is_shadow):
+    """Closest-hit batch with per-lane initial t and per-lane any-hit exit:
+    lets a deferred bounce run its NEE shadow batch and the NEXT bounce's
+    extension rays through ONE cluster traversal (each outer walk iteration
+    costs ~1 ms mostly-fixed dispatch on axon — CLAUDE.md — so folding the
+    two serial traversals per bounce into one saves ~the shorter walk).
+
+    Per lane: shadow lanes seed ``t_seed`` at the lamp distance (subtree
+    pruning, intersect_shadow semantics) and ``exit_below`` at their
+    definitive-blocker bound; extension lanes seed inf / -inf; inert lanes
+    (dead, or masked-off shadow samples) seed t_seed=0 so the root slab test
+    rejects every subtree and the lane never parks. ``is_shadow`` selects
+    intersect_shadow's epsilon rule for DE shapes (it counts hits at any
+    t >= 0; the closest-hit rule skips t <= DIST_EPSILON). Cluster scenes
+    only (scene.use_clusters)."""
+    n = origin.shape[0]
+    a = scene.arrays
+
+    best = {
+        "t": t_seed,
+        "kind": jnp.full(n, KIND_NONE, jnp.int32),
+        "idx": jnp.zeros(n, jnp.int32),
+        "u": jnp.zeros(n),
+        "v": jnp.zeros(n),
+    }
+
+    if scene.num_planes > 0:
+        hit, t = geom.ray_plane(
+            origin[:, None, :],
+            direction[:, None, :],
+            a["pla_normal"][None, :, :],
+            a["pla_d"][None, :],
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        pi = jnp.argmin(t, axis=1)
+        pt = jnp.take_along_axis(t, pi[:, None], axis=1)[:, 0]
+        better = pt < best["t"]
+        best["t"] = jnp.where(better, pt, best["t"])
+        best["kind"] = jnp.where(better, KIND_PLANE, best["kind"])
+        best["idx"] = jnp.where(better, pi.astype(jnp.int32), best["idx"])
+
+    if scene.use_clusters:
+        best = _cluster_traverse(
+            scene, origin, direction, best, _cluster_leaf_closest(scene),
+            exit_below=exit_below,
+        )
+
+    for j, shape in enumerate(scene.de_shapes):
+        ok, t, _ = _intersect_de(shape, origin, direction, cfg.max_de_steps)
+        better = ok & ((t > DIST_EPSILON) | is_shadow) & (t < best["t"])
+        best["t"] = jnp.where(better, t, best["t"])
+        best["kind"] = jnp.where(better, KIND_DE, best["kind"])
+        best["idx"] = jnp.where(better, j, best["idx"])
+
+    return best
+
+
 def surface_data(scene: Scene, hit, origin, direction, cfg: TraceConfig):
     """Gather per-hit surface attributes, branchless across hit kinds.
 
@@ -1030,12 +1087,96 @@ def trace_direct(
     return delta + jnp.sum(contrib.reshape(ls, n, s_count), axis=0)
 
 
+def trace_direct_pre(
+    scene: Scene,
+    cfg: TraceConfig,
+    key,
+    active,
+    position,
+    normal,
+    ray_in,
+    wavelengths,
+    reflectance,
+    aux_alive,
+):
+    """Phase A of a fully flattened NEE bounce: all ``light_samples`` stacked
+    into one [ls*N] candidate batch whose shadow query the caller batches
+    with other rays (the deferred cluster scheduler merges it with the next
+    bounce's extension rays into ONE traversal launch — intersect_merged).
+    PRNG draws are identical to trace_direct's flattened branch, so
+    pre + shadow + trace_direct_post composes to the same estimator.
+    Returns (query, pending) or None when the scene has no NEE work."""
+    n = position.shape[0]
+    if scene.num_lamps == 0 or cfg.light_samples == 0:
+        return None
+    ls = cfg.light_samples
+
+    k_pick, key = jax.random.split(key)
+    lamp_idx = jax.random.randint(k_pick, (n,), 0, scene.num_lamps)
+    pick_prob = 1.0 / scene.num_lamps
+    probability = 1.0 / (ls * 2.0 * jnp.pi * pick_prob)
+
+    flip = jnp.where((geom.dot(ray_in, normal) < 0.0)[:, None], normal, -normal)
+
+    u = jnp.concatenate(
+        [jax.random.uniform(jax.random.fold_in(key, s), (n, 4)) for s in range(ls)],
+        axis=0,
+    )
+    u_emis = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.fold_in(jax.random.fold_in(key, s), 1), (n,))
+            for s in range(ls)
+        ],
+        axis=0,
+    )
+    tile = lambda x: jnp.concatenate([x] * ls, axis=0)
+    return _direct_sample_pre(
+        scene, cfg, probability, tile(active), tile(position), tile(flip),
+        tile(wavelengths), tile(reflectance), tile(aux_alive),
+        tile(lamp_idx), u, u_emis,
+    )
+
+
+def trace_direct_post(pending, t_hit, n, s_count):
+    """Phase B of a flattened NEE bounce: occlusion verdicts -> per-lane
+    brightness delta [N, S] (sum over the ls sample slots)."""
+    contrib = _direct_sample_post(pending, t_hit)
+    ls = contrib.shape[0] // n
+    return jnp.sum(contrib.reshape(ls, n, s_count), axis=0)
+
+
 def _direct_sample(
     scene, cfg, probability, active, position_f, flip_f, wavelengths_f,
     reflectance_f, aux_alive_f, lamp_idx_f, u, u_emis,
 ):
     """One NEE sample batch at arbitrary width: lamp sample -> shadow ->
     emissive component -> program banks -> masked contribution [W, S]."""
+    query, pending = _direct_sample_pre(
+        scene, cfg, probability, active, position_f, flip_f, wavelengths_f,
+        reflectance_f, aux_alive_f, lamp_idx_f, u, u_emis,
+    )
+    t_hit = intersect_shadow(
+        scene, query["origin"], query["direction"], cfg,
+        max_dist=query["max_dist"], block_below=query["block_below"],
+    )
+    return _direct_sample_post(pending, t_hit)
+
+
+def _direct_sample_pre(
+    scene, cfg, probability, active, position_f, flip_f, wavelengths_f,
+    reflectance_f, aux_alive_f, lamp_idx_f, u, u_emis,
+):
+    """Phase A of one NEE sample batch: lamp sampling, emissive component
+    choice, program banks, and the candidate contribution — everything
+    except the occlusion verdict. Returns (shadow query, pending): the
+    caller runs the shadow query however it likes (stand-alone
+    intersect_shadow, or batched with the next bounce's extension rays in
+    the deferred cluster scheduler) and applies the verdict with
+    _direct_sample_post. The bank evals here use the pre-occlusion mask
+    (a superset of the final one); blocked lanes are zeroed in post, so the
+    composed result is bit-identical to evaluating after the shadow test
+    (`active` only gates which lanes' values are *kept*, never the values
+    themselves — eval_color_bank/eval_prob_bank)."""
     w = position_f.shape[0]
     s_count = reflectance_f.shape[1]
     samp = sample_lamp(scene, lamp_idx_f, position_f, u)
@@ -1047,18 +1188,6 @@ def _direct_sample(
     # below the caller's own occlusion bound
     lamp_dist = jnp.sqrt(samp["sq_distance"])
     block_below = jnp.sqrt(jnp.maximum(samp["sq_distance"] - DIST_EPSILON, 0.0))
-    t_hit = intersect_shadow(
-        scene, position_f, samp["direction"], cfg,
-        max_dist=lamp_dist, block_below=block_below,
-    )
-    has_hit = jnp.isfinite(t_hit)
-    hit_sq = jnp.where(has_hit, t_hit * t_hit, jnp.inf)
-    blocked = jnp.where(
-        jnp.isinf(samp["sq_distance"]),
-        has_hit,
-        has_hit & (hit_sq < samp["sq_distance"] - DIST_EPSILON),
-    )
-    contributes &= ~blocked
 
     # emissive surface sampling on physical lamps
     e_comp, e_sel = choose_emissive(scene, samp["surf_mat"], u_emis)
@@ -1101,7 +1230,35 @@ def _direct_sample(
         ],
         axis=1,
     )
-    return jnp.where(contributes[:, None] & col_mask, contrib, 0.0)
+    query = {
+        "origin": position_f,
+        "direction": samp["direction"],
+        "max_dist": lamp_dist,
+        "block_below": block_below,
+        "contributes": contributes,
+    }
+    pending = {
+        "contrib": contrib,
+        "contributes": contributes,
+        "col_mask": col_mask,
+        "sq_distance": samp["sq_distance"],
+    }
+    return query, pending
+
+
+def _direct_sample_post(pending, t_hit):
+    """Phase B of one NEE sample batch: apply the occlusion verdict
+    (t_hit from the shadow query seeded at the lamp distance) to the
+    candidate contribution."""
+    has_hit = jnp.isfinite(t_hit)
+    hit_sq = jnp.where(has_hit, t_hit * t_hit, jnp.inf)
+    blocked = jnp.where(
+        jnp.isinf(pending["sq_distance"]),
+        has_hit,
+        has_hit & (hit_sq < pending["sq_distance"] - DIST_EPSILON),
+    )
+    ok = pending["contributes"] & ~blocked
+    return jnp.where(ok[:, None] & pending["col_mask"], pending["contrib"], 0.0)
 
 
 # =============================================================================
@@ -1128,6 +1285,71 @@ import os as _os_l
 LADDER_HEAD = int(_os_l.environ.get("PYRITE_TPU_LADDER_HEAD", "2"))
 LADDER_DIV = int(_os_l.environ.get("PYRITE_TPU_LADDER_DIV", "1"))
 LADDER_MIN_LANES = int(_os_l.environ.get("PYRITE_TPU_LADDER_MIN", "65536"))
+
+
+def merged_traversal_enabled() -> bool:
+    """Deferred-NEE merged traversal for cluster scenes
+    (PYRITE_TPU_MERGE_TRAV=1): each bounce's NEE shadow batch and the next
+    bounce's extension rays share ONE _cluster_traverse launch, so a bounce
+    pays one walk's worth of per-iteration dispatch instead of two serial
+    walks'. Off by default until measured on TPU."""
+    return _os_l.environ.get("PYRITE_TPU_MERGE_TRAV", "0") == "1"
+
+
+def deferred_bounce(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key, hit, ext_active):
+    """One deferred bounce for cluster scenes: shade against the carried
+    ``hit``, then run the bounce's NEE shadow batch and the NEXT bounce's
+    extension rays through one merged traversal (intersect_merged).
+
+    ``ext_active``: scalar or [N] mask — False suppresses the extension half
+    (the caller's last bounce, whose scattered rays are never consumed).
+    Returns (new_state incl. the NEE delta, info, next_hit). Estimator
+    parity: bit-identical PRNG draws to bounce_core's in-line path
+    (trace_direct_pre) and the same t semantics for both halves; only
+    float-associativity-level sweep-order effects differ."""
+    s_count = wavelengths.shape[1]
+    new_state, info, nee = bounce_core(
+        scene, cfg, wavelengths, state, bounce_key, hit=hit, defer_nee=True
+    )
+    ext = ext_active & new_state["alive"]
+    next_hit, delta = merged_shadow_extension(
+        scene, cfg, nee, new_state["origin"], new_state["direction"], ext,
+        s_count,
+    )
+    if delta is not None:
+        new_state = dict(new_state, brightness=new_state["brightness"] + delta)
+    return new_state, info, next_hit
+
+
+def merged_shadow_extension(scene: Scene, cfg: TraceConfig, nee, origin, direction, ext_active, s_count):
+    """ONE merged traversal for a deferred bounce: the bounce's NEE shadow
+    batch (``nee`` = trace_direct_pre's (query, pending), or None) plus the
+    caller's next extension rays. Returns (next_hit, nee_delta [N, S] or
+    None). The regen scheduler calls this directly so it can mix
+    regenerated camera rays into the extension half first."""
+    n = origin.shape[0]
+    if nee is None:
+        return intersect_scene(scene, origin, direction, cfg), None
+    query, pending = nee
+    w = query["origin"].shape[0]
+    all_o = jnp.concatenate([query["origin"], origin], axis=0)
+    all_d = jnp.concatenate([query["direction"], direction], axis=0)
+    # inert lanes (dead paths, masked-off NEE samples) seed t=0: the root
+    # slab rejects everything and they never cost a park/sweep slot
+    t_seed = jnp.concatenate(
+        [
+            jnp.where(query["contributes"], query["max_dist"], 0.0),
+            jnp.where(ext_active, jnp.inf, 0.0),
+        ]
+    )
+    exit_b = jnp.concatenate([query["block_below"], jnp.full(n, -jnp.inf)])
+    is_shadow = jnp.concatenate([jnp.ones(w, bool), jnp.zeros(n, bool)])
+    best = intersect_merged(
+        scene, all_o, all_d, cfg, t_seed, exit_b, is_shadow
+    )
+    delta = trace_direct_post(pending, best["t"][:w], n, s_count)
+    next_hit = {k: v[w:] for k, v in best.items()}
+    return next_hit, delta
 
 
 def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, wavelengths):
@@ -1199,6 +1421,27 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
         and cfg.bounces >= head + 2
     )
     if not use_ladder:
+        if scene.use_clusters and merged_traversal_enabled():
+            hit0 = intersect_scene(
+                scene, state["origin"], state["direction"], cfg
+            )
+
+            def d_cond(carry):
+                i, st, hit = carry
+                return (i < cfg.bounces) & jnp.any(st["alive"])
+
+            def d_body(carry):
+                i, st, hit = carry
+                new_st, _, next_hit = deferred_bounce(
+                    scene, cfg, wavelengths, st, jax.random.fold_in(key, i),
+                    hit, i + 1 < cfg.bounces,
+                )
+                return i + 1, new_st, next_hit
+
+            _, state, _ = jax.lax.while_loop(
+                d_cond, d_body, (jnp.int32(0), state, hit0)
+            )
+            return state["brightness"], state["aux_alive"]
         state = tail(state, wavelengths, 0)
         return state["brightness"], state["aux_alive"]
 
@@ -1236,12 +1479,23 @@ def trace_paths(scene: Scene, cfg: TraceConfig, key, origin, direction, waveleng
     return state["brightness"][inv], state["aux_alive"][inv]
 
 
-def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
+def bounce_core(
+    scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key,
+    hit=None, defer_nee=False,
+):
     """One camera-path bounce: intersection, contribution, NEE, scatter.
 
     Returns (new_state, info); info carries the surface interaction data a
     bidirectional connection step needs (position, normal, incident, bounce
-    classification, stored-direction brdf)."""
+    classification, stored-direction brdf).
+
+    ``hit``: a precomputed intersect_scene result for state's current rays
+    (the deferred cluster scheduler carries it from the previous bounce's
+    merged traversal). ``defer_nee=True`` skips the in-line shadow query and
+    returns (new_state, info, nee) where ``nee`` is trace_direct_pre's
+    (query, pending) — or None — and new_state's brightness EXCLUDES the
+    NEE delta; the caller traverses the query (batched with the next
+    extension rays) and adds trace_direct_post's delta itself."""
     n = state["origin"].shape[0]
     s_count = wavelengths.shape[1]
     a = scene.arrays
@@ -1251,7 +1505,8 @@ def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
         o = state["origin"]
         d = state["direction"]
 
-        hit = intersect_scene(scene, o, d, cfg)
+        if hit is None:
+            hit = intersect_scene(scene, o, d, cfg)
         found = hit["kind"] != KIND_NONE
 
         position, normal_geo, quat, uv, mat_id = surface_data(scene, hit, o, d, cfg)
@@ -1356,20 +1611,27 @@ def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
 
         # --- next-event estimation (only first 2 diffuse events) -------------
         nee_now = reflected & sc["is_diffuse"] & (state["light_events"] < 2)
+        nee = None
         if cfg.light_samples > 0:
-            delta = trace_direct(
-                scene,
-                cfg,
-                k_nee,
-                nee_now,
-                position,
-                normal,
-                d,
-                wavelengths,
-                reflectance,
-                aux_alive,
-            )
-            brightness = brightness + delta
+            if defer_nee:
+                nee = trace_direct_pre(
+                    scene, cfg, k_nee, nee_now, position, normal, d,
+                    wavelengths, reflectance, aux_alive,
+                )
+            else:
+                delta = trace_direct(
+                    scene,
+                    cfg,
+                    k_nee,
+                    nee_now,
+                    position,
+                    normal,
+                    d,
+                    wavelengths,
+                    reflectance,
+                    aux_alive,
+                )
+                brightness = brightness + delta
         light_events = state["light_events"] + jnp.where(
             reflected & sc["is_diffuse"] & (state["light_events"] < 2), 1, 0
         )
@@ -1420,6 +1682,8 @@ def bounce_core(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_key):
             "brdf_stored": brdf,
             "miss": miss,
         }
+        if defer_nee:
+            return new_state, info, nee
         return new_state, info
 
 

@@ -501,6 +501,147 @@ def test_regen_scheduler_on_cluster_scene(tmp_path, monkeypatch):
     np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.08)
 
 
+def test_merged_traversal_matches_one_shot(tmp_path, monkeypatch):
+    """PYRITE_TPU_MERGE_TRAV (tracer.merged_traversal_enabled): the deferred
+    cluster scheduler runs each bounce's NEE shadow batch and the next
+    bounce's extension rays through ONE merged traversal. PRNG draws and
+    per-lane t semantics are identical to the in-line path, so the rendered
+    image must match the one-shot wavefront to float tolerance."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu import tracer as tracer_mod
+    from pyrite_tpu.renderers import simple as simple_mod
+
+    lua, _ = terrain_scene(
+        str(tmp_path), cells=24, width=24, height=12, spp=4, bounces=3
+    )
+    pd = load_project(lua)
+    scene = build_scene(pd)
+    assert scene.use_clusters
+
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
+    film, acc_o, wt_o = simple_mod.render(pd, scene, seed=3, max_samples=4)
+
+    monkeypatch.setattr(tracer_mod, "merged_traversal_enabled", lambda: True)
+    film, acc_m, wt_m = simple_mod.render(pd, scene, seed=3, max_samples=4)
+
+    np.testing.assert_array_equal(np.asarray(wt_o), np.asarray(wt_m))
+    np.testing.assert_allclose(
+        np.asarray(acc_m), np.asarray(acc_o), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_intersect_merged_matches_split_queries(tmp_path):
+    """intersect_merged must reproduce intersect_scene on its extension half
+    and intersect_shadow on its shadow half for the same rays (cluster
+    scene; seeded/pruned t, exit_below, inert-lane masking)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu import tracer
+
+    lua, _ = terrain_scene(str(tmp_path), cells=24, width=8, height=4, spp=1, bounces=2)
+    pd = load_project(lua)
+    scene = build_scene(pd)
+    assert scene.use_clusters
+    cfg = tracer.TraceConfig(bounces=2, light_samples=1, spectrum_samples=2)
+
+    n = 256
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    origin = jax.random.uniform(k1, (n, 3), minval=-6.0, maxval=6.0) + jnp.array([0.0, 6.0, 0.0])
+    direction = origin * 0.0
+    direction = jax.random.normal(k2, (n, 3))
+    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+    max_dist = jax.random.uniform(k3, (n,), minval=2.0, maxval=30.0)
+
+    data = scene.device_data()
+
+    def run(data):
+        with scene.bind(data):
+            ext = tracer.intersect_scene(scene, origin, direction, cfg)
+            sh = tracer.intersect_shadow(
+                scene, origin, direction, cfg,
+                max_dist=max_dist,
+                block_below=max_dist * 0.9,
+            )
+            o2 = jnp.concatenate([origin, origin], axis=0)
+            d2 = jnp.concatenate([direction, direction], axis=0)
+            t_seed = jnp.concatenate([max_dist, jnp.full(n, jnp.inf)])
+            exit_b = jnp.concatenate([max_dist * 0.9, jnp.full(n, -jnp.inf)])
+            is_sh = jnp.concatenate([jnp.ones(n, bool), jnp.zeros(n, bool)])
+            merged = tracer.intersect_merged(
+                scene, o2, d2, cfg, t_seed, exit_b, is_sh
+            )
+            return ext, sh, merged
+
+    ext, sh, merged = jax.jit(run)(data)
+    m_sh_t = np.asarray(merged["t"][:n])
+    m_ext = {k: np.asarray(v[n:]) for k, v in merged.items()}
+
+    # extension half == intersect_scene exactly
+    np.testing.assert_array_equal(m_ext["t"], np.asarray(ext["t"]))
+    np.testing.assert_array_equal(m_ext["kind"], np.asarray(ext["kind"]))
+    np.testing.assert_array_equal(m_ext["idx"], np.asarray(ext["idx"]))
+    # shadow half: exit_below stops a lane at its first definitive blocker,
+    # so any t at or below the bound is equivalent (both mean "blocked");
+    # unblocked lanes must agree exactly
+    s_t = np.asarray(sh)
+    bound = np.asarray(max_dist * 0.9)
+    both_blocked = (m_sh_t < bound) & (s_t < bound)
+    np.testing.assert_array_equal(
+        m_sh_t[~both_blocked], s_t[~both_blocked]
+    )
+
+
+def test_deferred_regen_on_cluster_scene(tmp_path, monkeypatch):
+    """Cluster regen + merged traversal combined (the round-3 terrain
+    configuration): exact per-pixel sample counts and one-shot-matching
+    radiance. The deferred body regenerates dead lanes BEFORE the merged
+    traversal so fresh camera rays ride the same launch as the NEE batch."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu import tracer as tracer_mod
+    from pyrite_tpu.renderers import simple as simple_mod
+
+    lua, _ = terrain_scene(
+        str(tmp_path), cells=24, width=24, height=12, spp=8, bounces=3
+    )
+    pd = load_project(lua)
+    scene = build_scene(pd)
+    assert scene.use_clusters
+
+    monkeypatch.setattr(tracer_mod, "merged_traversal_enabled", lambda: True)
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: True)
+    monkeypatch.setattr(simple_mod, "regen_clusters_enabled", lambda: True)
+    film, acc_r, wt_r = simple_mod.render(pd, scene, seed=2, max_samples=8)
+
+    monkeypatch.setattr(tracer_mod, "merged_traversal_enabled", lambda: False)
+    monkeypatch.setattr(simple_mod, "regen_enabled", lambda: False)
+    film, acc_o, wt_o = simple_mod.render(pd, scene, seed=2, max_samples=8)
+
+    s = pd.project.renderer.spectrum_samples
+    expect_wt = 8 * film.width * film.height * s
+    np.testing.assert_allclose(float(np.asarray(wt_r).sum()), expect_wt, rtol=1e-6)
+
+    img_r = np.asarray(film.develop(acc_r, wt_r)).mean(axis=2)
+    img_o = np.asarray(film.develop(acc_o, wt_o)).mean(axis=2)
+    lit = img_o > 0.02
+    rel = np.abs(img_r - img_o)[lit] / img_o[lit]
+    assert np.median(rel) < 0.2, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.08)
+
+
 def test_regen_bdpt_matches_one_shot(tmp_path, monkeypatch):
     """Deep camera budgets (>= REGEN_BDPT_MIN_BOUNCES) ride camera-side path
     regeneration in the BDPT renderer: every sample pairs with its own lamp
