@@ -33,7 +33,11 @@ from ..tracer import (
     TraceConfig,
     bounce_core,
     eval_color_bank,
+    intersect_scene,
     intersect_shadow,
+    merged_queries,
+    merged_traversal_enabled,
+    trace_direct_post,
     trace_lamp_path,
 )
 from .simple import RenderProgress, chunk_order, chunk_rays, regen_enabled
@@ -225,6 +229,81 @@ def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_la
     return acc, wt
 
 
+def _conn_query(info, conn_position, conn_normal, conn_ok):
+    """Connection-batch geometry + candidate masks (pre-occlusion): the
+    flattened [N*K] shadow query over every lamp slot, in the shadow-query
+    shape merged_queries/intersect_shadow share. Returns (query, pack);
+    pack carries the geometry terms _conn_fold needs after the verdict."""
+    n, slots = conn_ok.shape
+    dirvec = conn_position - info["position"][:, None, :]  # [N,K,3]
+    sqd = jnp.sum(dirvec * dirvec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
+    conn_dir = dirvec / dist[..., None]
+
+    cos_out_s = jnp.sum(info["normal"][:, None, :] * conn_dir, axis=-1)
+    cos_in_s = jnp.sum(conn_normal * -conn_dir, axis=-1)
+    good = info["is_diffuse"][:, None] & conn_ok
+    good &= cos_out_s > 0.0
+    good &= cos_in_s > 0.0
+
+    flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
+    origin_f = jnp.broadcast_to(info["position"][:, None, :], (n, slots, 3))
+    dist_f = flat(dist)
+    query = {
+        "origin": flat(origin_f),
+        "direction": flat(conn_dir),
+        "max_dist": dist_f,
+        "block_below": dist_f - DIST_EPSILON,
+        "contributes": flat(good),
+    }
+    pack = {
+        "good": good, "sqd": sqd,
+        "cos_out_s": cos_out_s, "cos_in_s": cos_in_s,
+    }
+    return query, pack
+
+
+def _conn_blocked(t_hit, query, n, slots):
+    """Occlusion verdict for a flattened connection batch -> [N, K]."""
+    return (
+        jnp.isfinite(t_hit) & (t_hit < query["max_dist"] - DIST_EPSILON)
+    ).reshape(n, slots)
+
+
+def _conn_fold(new_state, info, pack, blocked, pp, aux_ok, conn_vsum, conn_cnt):
+    """Fold connection verdicts into the per-lane sums (connect_paths math,
+    bidirectional.rs:310-398). Uses new_state's brightness AFTER the
+    bounce's NEE delta, matching the in-line evaluation order."""
+    n, slots = blocked.shape
+    s_count = new_state["brightness"].shape[1]
+    good = pack["good"] & ~blocked
+    brdf_conn = 2.0 * jnp.abs(pack["cos_out_s"])
+    brdf_ratio = brdf_conn / jnp.maximum(info["brdf_stored"][:, None], 1e-20)
+    scale = (
+        jnp.abs(pack["cos_in_s"])
+        * jnp.abs(pack["cos_out_s"])
+        * brdf_ratio
+        / (2.0 * jnp.pi * jnp.maximum(pack["sqd"], 1e-20))
+    )
+
+    delta = new_state["reflectance"][:, None, :] * scale[..., None] * pp
+    value = new_state["brightness"][:, None, :] + delta  # [N, K, S]
+
+    aux_take = new_state["aux_alive"][:, None] & aux_ok  # [N, K]
+    cols = jnp.concatenate(
+        [
+            jnp.ones((n, slots, 1), bool),
+            jnp.broadcast_to(aux_take[..., None], (n, slots, s_count - 1)),
+        ],
+        axis=2,
+    )
+    take = good[..., None] & cols
+    return (
+        conn_vsum + jnp.sum(jnp.where(take, value, 0.0), axis=1),
+        conn_cnt + jnp.sum(take.astype(jnp.float32), axis=1),
+    )
+
+
 def make_render_step(
     scene: Scene,
     film: Film,
@@ -295,83 +374,39 @@ def make_render_step(
             "len_cam": jnp.zeros(n, jnp.int32),
         }
 
+        # connections (connect_paths): diffuse camera vertices only.
+        # All L+1 lamp slots are connected in ONE flattened [N*(L+1)]
+        # shadow batch per bounce (the reference's per-vertex loop,
+        # bidirectional.rs:310-398, is free on a CPU megakernel but costs
+        # (L+1) serial dispatch rounds on the wavefront machine).
+        def conn_pre(info):
+            return _conn_query(info, conn["position"], conn["normal"], conn["conn_ok"])
+
+        def conn_post(extras, new_state, info, pack, blocked):
+            vsum, cnt = _conn_fold(
+                new_state, info, pack, blocked, pp, aux_ok,
+                extras["conn_vsum"], extras["conn_cnt"],
+            )
+            return dict(extras, conn_vsum=vsum, conn_cnt=cnt)
+
         def scan_body(carry, bounce_key):
             state, extras = carry
             new_state, info = bounce_core(scene, cfg, wavelengths, state, bounce_key)
 
-            # connections (connect_paths): diffuse camera vertices only.
-            # All L+1 lamp slots are connected in ONE flattened [N*(L+1)]
-            # shadow batch per bounce (the reference's per-vertex loop,
-            # bidirectional.rs:310-398, is free on a CPU megakernel but costs
-            # (L+1) serial dispatch rounds on the wavefront machine).
-            cam_ok = info["is_diffuse"]
-            conn_vsum = extras["conn_vsum"]
-            conn_cnt = extras["conn_cnt"]
             if scene.num_lamps > 0:
-                dirvec = conn["position"] - info["position"][:, None, :]  # [N,K,3]
-                sqd = jnp.sum(dirvec * dirvec, axis=-1)
-                dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
-                conn_dir = dirvec / dist[..., None]
-
-                cos_out_s = jnp.sum(info["normal"][:, None, :] * conn_dir, axis=-1)
-                cos_in_s = jnp.sum(conn["normal"] * -conn_dir, axis=-1)
-                good = cam_ok[:, None] & conn["conn_ok"]
-                good &= cos_out_s > 0.0
-                good &= cos_in_s > 0.0
-
-                flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
-                origin_f = jnp.broadcast_to(
-                    info["position"][:, None, :], (n, slots, 3)
-                )
-                dist_f = flat(dist)
+                query, pack = conn_pre(info)
                 t_hit = intersect_shadow(
-                    scene, flat(origin_f), flat(conn_dir), cfg,
-                    max_dist=dist_f, block_below=dist_f - DIST_EPSILON,
+                    scene, query["origin"], query["direction"], cfg,
+                    max_dist=query["max_dist"],
+                    block_below=query["block_below"],
                 )
-                blocked = (
-                    jnp.isfinite(t_hit) & (t_hit < dist_f - DIST_EPSILON)
-                ).reshape(n, slots)
-                good &= ~blocked
+                blocked = _conn_blocked(t_hit, query, n, slots)
+                extras = conn_post(extras, new_state, info, pack, blocked)
 
-                brdf_conn = 2.0 * jnp.abs(cos_out_s)
-                brdf_ratio = brdf_conn / jnp.maximum(
-                    info["brdf_stored"][:, None], 1e-20
-                )
-                scale = (
-                    jnp.abs(cos_in_s)
-                    * jnp.abs(cos_out_s)
-                    * brdf_ratio
-                    / (2.0 * jnp.pi * jnp.maximum(sqd, 1e-20))
-                )
-
-                delta = (
-                    new_state["reflectance"][:, None, :]
-                    * scale[..., None]
-                    * pp
-                )  # [N, K, S]
-                value = new_state["brightness"][:, None, :] + delta
-
-                aux_take = new_state["aux_alive"][:, None] & aux_ok  # [N, K]
-                cols = jnp.concatenate(
-                    [
-                        jnp.ones((n, slots, 1), bool),
-                        jnp.broadcast_to(
-                            aux_take[..., None], (n, slots, s_count - 1)
-                        ),
-                    ],
-                    axis=2,
-                )
-                take = good[..., None] & cols
-                conn_vsum = conn_vsum + jnp.sum(
-                    jnp.where(take, value, 0.0), axis=1
-                )
-                conn_cnt = conn_cnt + jnp.sum(take.astype(jnp.float32), axis=1)
-
-            new_extras = {
-                "conn_vsum": conn_vsum,
-                "conn_cnt": conn_cnt,
-                "len_cam": extras["len_cam"] + info["recorded"].astype(jnp.int32),
-            }
+            new_extras = dict(
+                extras,
+                len_cam=extras["len_cam"] + info["recorded"].astype(jnp.int32),
+            )
             return (new_state, new_extras), None
 
         keys = jax.random.split(k_cam, cfg.bounces)
@@ -388,9 +423,57 @@ def make_render_step(
             (state, extras), _ = scan_body((state, extras), keys[i])
             return i + 1, state, extras
 
-        _, state, extras = jax.lax.while_loop(
-            cam_cond, cam_body, (jnp.int32(0), state, extras)
-        )
+        if scene.use_clusters and merged_traversal_enabled():
+            # deferred bounce: the connection batch, the bounce's NEE batch,
+            # and the NEXT bounce's extension rays share ONE traversal
+            # (three serial cluster walks -> one per bounce)
+            def cam_body_deferred(carry):
+                i, state, extras, hit = carry
+                new_state, info, nee = bounce_core(
+                    scene, cfg, wavelengths, state, keys[i],
+                    hit=hit, defer_nee=True,
+                )
+                shadow_qs = []
+                if scene.num_lamps > 0:
+                    query, pack = conn_pre(info)
+                    shadow_qs.append(query)
+                if nee is not None:
+                    shadow_qs.append(nee[0])
+                ext = new_state["alive"] & (i + 1 < cfg.bounces)
+                next_hit, ts = merged_queries(
+                    scene, cfg, shadow_qs,
+                    new_state["origin"], new_state["direction"], ext,
+                )
+                if nee is not None:
+                    delta = trace_direct_post(nee[1], ts[-1], n, s_count)
+                    new_state = dict(
+                        new_state,
+                        brightness=new_state["brightness"] + delta,
+                    )
+                if scene.num_lamps > 0:
+                    blocked = _conn_blocked(ts[0], query, n, slots)
+                    extras = conn_post(extras, new_state, info, pack, blocked)
+                extras = dict(
+                    extras,
+                    len_cam=extras["len_cam"]
+                    + info["recorded"].astype(jnp.int32),
+                )
+                return i + 1, new_state, extras, next_hit
+
+            hit0 = intersect_scene(scene, origin, direction, cfg)
+
+            def cam_cond_deferred(carry):
+                i, state, extras, hit = carry
+                return (i < cfg.bounces) & jnp.any(state["alive"])
+
+            _, state, extras, _ = jax.lax.while_loop(
+                cam_cond_deferred, cam_body_deferred,
+                (jnp.int32(0), state, extras, hit0),
+            )
+        else:
+            _, state, extras = jax.lax.while_loop(
+                cam_cond, cam_body, (jnp.int32(0), state, extras)
+            )
 
         # --- exposures ---------------------------------------------------------
         # camera-path samples, weight 1 (hero always, aux if never dispersed)
@@ -777,60 +860,19 @@ def make_regen_bdpt_steps(
                 # connect_paths (bidirectional.rs:310-398): one flattened
                 # [n*K] shadow batch per bounce, identical math to the
                 # one-shot walk's scan_body
-                cam_ok = info["is_diffuse"]
-                dirvec = cur["position"] - info["position"][:, None, :]
-                sqd = jnp.sum(dirvec * dirvec, axis=-1)
-                dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
-                conn_dir = dirvec / dist[..., None]
-
-                cos_out_s = jnp.sum(info["normal"][:, None, :] * conn_dir, axis=-1)
-                cos_in_s = jnp.sum(cur["normal"] * -conn_dir, axis=-1)
-                good = cam_ok[:, None] & cur["conn_ok"]
-                good &= cos_out_s > 0.0
-                good &= cos_in_s > 0.0
-
-                flat = lambda x: x.reshape((n * slots,) + x.shape[2:])
-                origin_f = jnp.broadcast_to(
-                    info["position"][:, None, :], (n, slots, 3)
+                query, pack = _conn_query(
+                    info, cur["position"], cur["normal"], cur["conn_ok"]
                 )
-                dist_f = flat(dist)
                 t_hit = intersect_shadow(
-                    scene, flat(origin_f), flat(conn_dir), cfg,
-                    max_dist=dist_f, block_below=dist_f - DIST_EPSILON,
+                    scene, query["origin"], query["direction"], cfg,
+                    max_dist=query["max_dist"],
+                    block_below=query["block_below"],
                 )
-                blocked = (
-                    jnp.isfinite(t_hit) & (t_hit < dist_f - DIST_EPSILON)
-                ).reshape(n, slots)
-                good &= ~blocked
-
-                brdf_conn = 2.0 * jnp.abs(cos_out_s)
-                brdf_ratio = brdf_conn / jnp.maximum(
-                    info["brdf_stored"][:, None], 1e-20
+                blocked = _conn_blocked(t_hit, query, n, slots)
+                conn_vsum, conn_cnt = _conn_fold(
+                    new_state, info, pack, blocked, cur["pp"], cur["aux_ok"],
+                    conn_vsum, conn_cnt,
                 )
-                scale = (
-                    jnp.abs(cos_in_s)
-                    * jnp.abs(cos_out_s)
-                    * brdf_ratio
-                    / (2.0 * jnp.pi * jnp.maximum(sqd, 1e-20))
-                )
-
-                delta = (
-                    new_state["reflectance"][:, None, :]
-                    * scale[..., None]
-                    * cur["pp"]
-                )
-                value = new_state["brightness"][:, None, :] + delta
-                aux_take = new_state["aux_alive"][:, None] & cur["aux_ok"]
-                cols = jnp.concatenate(
-                    [
-                        jnp.ones((n, slots, 1), bool),
-                        jnp.broadcast_to(aux_take[..., None], (n, slots, s - 1)),
-                    ],
-                    axis=2,
-                )
-                take = good[..., None] & cols
-                conn_vsum = conn_vsum + jnp.sum(jnp.where(take, value, 0.0), axis=1)
-                conn_cnt = conn_cnt + jnp.sum(take.astype(jnp.float32), axis=1)
 
             len_cam = len_cam + info["recorded"].astype(jnp.int32)
             # per-path depth budget (the one-shot walk's iteration bound)
@@ -843,7 +885,146 @@ def make_regen_bdpt_steps(
                 "len_cam": len_cam, "live": live,
             }
 
-        c = jax.lax.while_loop(cond, body, carry)
+        def body_deferred(c):
+            """Deferred cluster bounce (tracer.merged_traversal_enabled):
+            shade against the carried hit, regenerate dead lanes (round swap
+            + fresh camera rays), then ONE merged traversal covers the
+            connection batch, the NEE batch, and every next ray — one
+            cluster walk per bounce instead of three serial ones. Exposure
+            runs in-body after the verdicts land, so budget-killed lanes
+            keep their final bounce's NEE + connection sums."""
+            st = c["state"]
+            cur = c["cur"]
+            live = c["live"] + jnp.sum(st["alive"].astype(jnp.float32))
+            new_state, info, nee = bounce_core(
+                scene, cfg, cur["wl"], st, jax.random.fold_in(k_tr, c["i"]),
+                hit=c["hit"], defer_nee=True,
+            )
+            if scene.num_lamps > 0:
+                query, pack = _conn_query(
+                    info, cur["position"], cur["normal"], cur["conn_ok"]
+                )
+            plen = c["plen"] + new_state["alive"].astype(jnp.int32)
+            alive = new_state["alive"] & (plen < cfg.bounces)
+            new_state = dict(new_state, alive=alive)
+            complete = c["pend"] & ~alive
+            done = c["done"] + complete.astype(jnp.int32)
+            reg = ~alive & (done < spp_lane)
+
+            ridx = (done % r_count)[:, None]
+
+            def swap(old, tree_field):
+                new = round_take(tree_field, ridx)
+                keep = reg
+                while keep.ndim < old.ndim:
+                    keep = keep[..., None]
+                return jnp.where(keep, new, old)
+
+            cur_next = {
+                "position": swap(cur["position"], conn_r["position"]),
+                "normal": swap(cur["normal"], conn_r["normal"]),
+                "pp": swap(cur["pp"], conn_r["pp"]),
+                "aux_ok": swap(cur["aux_ok"], conn_r["aux_ok"]),
+                "conn_ok": swap(cur["conn_ok"], conn_r["conn_ok"]),
+                "wl": swap(cur["wl"], wl_r),
+                "len_lamp": jnp.where(
+                    reg, round_take(len_r, ridx), cur["len_lamp"]
+                ),
+            }
+            o2, d2 = fresh_rays(jax.random.fold_in(k_gen, c["i"] + 1))
+            rc = reg[:, None]
+            next_o = jnp.where(rc, o2, new_state["origin"])
+            next_d = jnp.where(rc, d2, new_state["direction"])
+
+            shadow_qs = []
+            if scene.num_lamps > 0:
+                shadow_qs.append(query)
+            if nee is not None:
+                shadow_qs.append(nee[0])
+            next_hit, ts = merged_queries(
+                scene, cfg, shadow_qs, next_o, next_d, alive | reg
+            )
+            if nee is not None:
+                delta = trace_direct_post(nee[1], ts[-1], n, s)
+                new_state = dict(
+                    new_state, brightness=new_state["brightness"] + delta
+                )
+            conn_vsum, conn_cnt = c["conn_vsum"], c["conn_cnt"]
+            if scene.num_lamps > 0:
+                blocked = _conn_blocked(ts[0], query, n, slots)
+                conn_vsum, conn_cnt = _conn_fold(
+                    new_state, info, pack, blocked, cur["pp"], cur["aux_ok"],
+                    conn_vsum, conn_cnt,
+                )
+            len_cam = c["len_cam"] + info["recorded"].astype(jnp.int32)
+
+            # exposure of completed samples: current-round wavelengths,
+            # post-verdict brightness and connection sums
+            tmp = dict(
+                c, conn_vsum=conn_vsum, conn_cnt=conn_cnt, len_cam=len_cam
+            )
+            acc_l, wt_l, _ = expose_complete(tmp, new_state)
+
+            state2 = {
+                "origin": next_o,
+                "direction": next_d,
+                "brightness": jnp.where(rc, 0.0, new_state["brightness"]),
+                "reflectance": jnp.where(rc, 1.0, new_state["reflectance"]),
+                "alive": alive | reg,
+                "aux_alive": jnp.where(reg, True, new_state["aux_alive"]),
+                "sample_light": jnp.where(reg, True, new_state["sample_light"]),
+                "light_events": jnp.where(reg, 0, new_state["light_events"]),
+            }
+            return {
+                "i": c["i"] + 1, "state": state2, "cur": cur_next,
+                "hit": next_hit, "acc_l": acc_l, "wt_l": wt_l, "done": done,
+                "pend": (c["pend"] & alive) | reg,
+                "plen": jnp.where(reg, 0, plen),
+                "conn_vsum": jnp.where(rc, 0.0, conn_vsum),
+                "conn_cnt": jnp.where(rc, 0.0, conn_cnt),
+                "len_cam": jnp.where(reg, 0, len_cam),
+                "live": live,
+            }
+
+        if scene.use_clusters and merged_traversal_enabled():
+            # pre-loop regeneration (round 0 + fresh rays) so the first
+            # shade has a hit to consume
+            has = spp_lane > 0
+            ridx0 = jnp.zeros((n, 1), jnp.int32)
+
+            def swap0(old, tree_field):
+                new = round_take(tree_field, ridx0)
+                keep = has
+                while keep.ndim < old.ndim:
+                    keep = keep[..., None]
+                return jnp.where(keep, new, old)
+
+            cur0d = {
+                "position": swap0(cur0["position"], conn_r["position"]),
+                "normal": swap0(cur0["normal"], conn_r["normal"]),
+                "pp": swap0(cur0["pp"], conn_r["pp"]),
+                "aux_ok": swap0(cur0["aux_ok"], conn_r["aux_ok"]),
+                "conn_ok": swap0(cur0["conn_ok"], conn_r["conn_ok"]),
+                "wl": swap0(cur0["wl"], wl_r),
+                "len_lamp": jnp.where(
+                    has, round_take(len_r, ridx0), cur0["len_lamp"]
+                ),
+            }
+            o0, d0 = fresh_rays(jax.random.fold_in(k_gen, 0))
+            hc = has[:, None]
+            st0 = dict(
+                state,
+                origin=jnp.where(hc, o0, state["origin"]),
+                direction=jnp.where(hc, d0, state["direction"]),
+                alive=has,
+            )
+            carry = dict(
+                carry, state=st0, cur=cur0d, pend=has,
+                hit=intersect_scene(scene, st0["origin"], st0["direction"], cfg),
+            )
+            c = jax.lax.while_loop(cond, body_deferred, carry)
+        else:
+            c = jax.lax.while_loop(cond, body, carry)
         # drain: the final iteration's deaths were never exposed in-loop
         acc_l, wt_l, _ = expose_complete(c, c["state"])
 

@@ -1321,6 +1321,43 @@ def deferred_bounce(scene: Scene, cfg: TraceConfig, wavelengths, state, bounce_k
     return new_state, info, next_hit
 
 
+def merged_queries(scene: Scene, cfg: TraceConfig, shadow_queries, origin, direction, ext_active):
+    """ONE merged traversal for any number of shadow query groups plus one
+    extension batch. Each query is a dict with origin/direction/max_dist/
+    block_below/contributes (the _direct_sample_pre shape); masked-off
+    samples (contributes False) and inactive extension lanes are seeded
+    inert (t=0: the root slab rejects everything, so they never cost a
+    park/sweep slot). Returns (next_hit for the extension batch,
+    [t per shadow group])."""
+    n = origin.shape[0]
+    if not shadow_queries:
+        return intersect_scene(scene, origin, direction, cfg), []
+    widths = [q["origin"].shape[0] for q in shadow_queries]
+    all_o = jnp.concatenate([q["origin"] for q in shadow_queries] + [origin], axis=0)
+    all_d = jnp.concatenate(
+        [q["direction"] for q in shadow_queries] + [direction], axis=0
+    )
+    t_seed = jnp.concatenate(
+        [jnp.where(q["contributes"], q["max_dist"], 0.0) for q in shadow_queries]
+        + [jnp.where(ext_active, jnp.inf, 0.0)]
+    )
+    exit_b = jnp.concatenate(
+        [q["block_below"] for q in shadow_queries] + [jnp.full(n, -jnp.inf)]
+    )
+    is_shadow = jnp.concatenate(
+        [jnp.ones(sum(widths), bool), jnp.zeros(n, bool)]
+    )
+    best = intersect_merged(
+        scene, all_o, all_d, cfg, t_seed, exit_b, is_shadow
+    )
+    ts, at = [], 0
+    for w in widths:
+        ts.append(best["t"][at : at + w])
+        at += w
+    next_hit = {k: v[at:] for k, v in best.items()}
+    return next_hit, ts
+
+
 def merged_shadow_extension(scene: Scene, cfg: TraceConfig, nee, origin, direction, ext_active, s_count):
     """ONE merged traversal for a deferred bounce: the bounce's NEE shadow
     batch (``nee`` = trace_direct_pre's (query, pending), or None) plus the
@@ -1331,24 +1368,10 @@ def merged_shadow_extension(scene: Scene, cfg: TraceConfig, nee, origin, directi
     if nee is None:
         return intersect_scene(scene, origin, direction, cfg), None
     query, pending = nee
-    w = query["origin"].shape[0]
-    all_o = jnp.concatenate([query["origin"], origin], axis=0)
-    all_d = jnp.concatenate([query["direction"], direction], axis=0)
-    # inert lanes (dead paths, masked-off NEE samples) seed t=0: the root
-    # slab rejects everything and they never cost a park/sweep slot
-    t_seed = jnp.concatenate(
-        [
-            jnp.where(query["contributes"], query["max_dist"], 0.0),
-            jnp.where(ext_active, jnp.inf, 0.0),
-        ]
+    next_hit, (t_sh,) = merged_queries(
+        scene, cfg, [query], origin, direction, ext_active
     )
-    exit_b = jnp.concatenate([query["block_below"], jnp.full(n, -jnp.inf)])
-    is_shadow = jnp.concatenate([jnp.ones(w, bool), jnp.zeros(n, bool)])
-    best = intersect_merged(
-        scene, all_o, all_d, cfg, t_seed, exit_b, is_shadow
-    )
-    delta = trace_direct_post(pending, best["t"][:w], n, s_count)
-    next_hit = {k: v[w:] for k, v in best.items()}
+    delta = trace_direct_post(pending, t_sh, n, s_count)
     return next_hit, delta
 
 

@@ -601,6 +601,87 @@ def test_intersect_merged_matches_split_queries(tmp_path):
     )
 
 
+def test_bdpt_merged_traversal_matches_inline(tmp_path, monkeypatch):
+    """BDPT camera walks on cluster scenes can merge the connection shadow
+    batch, the NEE batch, and the next extension rays into one traversal
+    (PYRITE_TPU_MERGE_TRAV). Identical PRNG streams and occlusion semantics:
+    the film must match the in-line walk to float tolerance."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu import tracer as tracer_mod
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    lua, _ = terrain_scene(
+        str(tmp_path), cells=24, width=16, height=8, spp=2, bounces=3
+    )
+    src = open(lua).read().replace(
+        "renderer.simple", "renderer.bidirectional"
+    ).replace("light_samples = 1,", "light_samples = 1,\n        light_bounces = 3,")
+    path = tmp_path / "terrain_bdpt.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    assert pd.project.renderer.light_bounces == 3
+    scene = build_scene(pd)
+    assert scene.use_clusters
+
+    film, acc_o, wt_o = bdpt_mod.render(pd, scene, seed=5, max_samples=2)
+
+    monkeypatch.setattr(tracer_mod, "merged_traversal_enabled", lambda: True)
+    # the renderer module reads the gate through the tracer module at trace
+    # time (make_render_step closes over it), so re-import is not needed
+    monkeypatch.setattr(bdpt_mod, "merged_traversal_enabled", lambda: True)
+    film, acc_m, wt_m = bdpt_mod.render(pd, scene, seed=5, max_samples=2)
+
+    np.testing.assert_array_equal(np.asarray(wt_o), np.asarray(wt_m))
+    np.testing.assert_allclose(
+        np.asarray(acc_m), np.asarray(acc_o), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_bdpt_deferred_regen_matches_inline_regen(tmp_path, monkeypatch):
+    """Deferred regen-BDPT on cluster scenes (merged connection + NEE +
+    extension traversal, regeneration mixed into the extension half): the
+    PRNG streams align with the in-line regen body (pre-loop regen uses
+    key 0, in-loop regen at iteration i uses key i+1 consumed at i+1), so
+    the films must match to float tolerance."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu import tracer as tracer_mod
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    lua, _ = terrain_scene(
+        str(tmp_path), cells=24, width=16, height=8, spp=4, bounces=20
+    )
+    src = open(lua).read().replace(
+        "renderer.simple", "renderer.bidirectional"
+    ).replace("light_samples = 1,", "light_samples = 1,\n        light_bounces = 3,")
+    path = tmp_path / "terrain_bdpt_deep.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert scene.use_clusters
+    assert pd.project.renderer.bounces >= bdpt_mod.REGEN_BDPT_MIN_BOUNCES
+
+    film, acc_o, wt_o = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+
+    monkeypatch.setattr(tracer_mod, "merged_traversal_enabled", lambda: True)
+    monkeypatch.setattr(bdpt_mod, "merged_traversal_enabled", lambda: True)
+    film, acc_m, wt_m = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+
+    np.testing.assert_allclose(
+        float(np.asarray(wt_m).sum()), float(np.asarray(wt_o).sum()), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_m), np.asarray(acc_o), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_deferred_regen_on_cluster_scene(tmp_path, monkeypatch):
     """Cluster regen + merged traversal combined (the round-3 terrain
     configuration): exact per-pixel sample counts and one-shot-matching
