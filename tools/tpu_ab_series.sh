@@ -30,5 +30,8 @@ run diamonds                      python tools/tpu_ab.py diamonds
 run dragon                        python tools/tpu_ab.py dragon 24
 run dragon_merge                  env PYRITE_TPU_MERGE_TRAV=1 python tools/tpu_ab.py dragon 24
 run snowflake                     python tools/tpu_ab.py snowflake 4
+# snowflake's 2000-tri mesh rides the cluster path: regen-BDPT camera walks
+# also take the merged shadow+extension traversal when the gate is on
+run snowflake_merge               env PYRITE_TPU_MERGE_TRAV=1 python tools/tpu_ab.py snowflake 4
 
 echo "=== series done $(date +%H:%M:%S)" >> "$OUT"
