@@ -573,13 +573,10 @@ REGEN_BDPT_SPP_CHUNK = 32  # samples (= lamp-path rounds) per launch
 def _accumulate_lane_sums(film: Film, acc_l, wt_l, wavelengths, value_sums, weight_sums):
     """Per-lane (value, weight) accumulation into [N, bins] buffers — the
     expose_sums analogue of simple._accumulate_lane_bins."""
-    bins = film.wavelength_to_bin(wavelengths)  # [N, S]
-    onehot = (
-        bins[:, :, None] == jnp.arange(film.bins, dtype=bins.dtype)[None, None, :]
-    ).astype(value_sums.dtype)
-    acc_l = acc_l + jnp.einsum("ns,nsb->nb", value_sums, onehot)
-    wt_l = wt_l + jnp.einsum("ns,nsb->nb", weight_sums, onehot)
-    return acc_l, wt_l
+    from ..film import bin_lane_sums
+
+    da, dw = bin_lane_sums(film, wavelengths, value_sums, weight_sums)
+    return acc_l + da, wt_l + dw
 
 
 def make_regen_bdpt_steps(
@@ -1138,7 +1135,9 @@ def pick_rows_per_chunk(
         film.width, _LANE_BUDGET // ((light_bounces + 1) * spectrum_samples)
     )
     if scene is not None and scene.use_clusters:
-        budget_lanes = min(budget_lanes, 32768)
+        from ..tracer import CLUSTER_LANE_CAP
+
+        budget_lanes = min(budget_lanes, CLUSTER_LANE_CAP)
     elif scene is not None and scene.num_primitives > 128:
         budget = 3_000_000_000
         per_lane = max(scene.num_primitives, 1) * max(bounces, 1) * (

@@ -67,9 +67,11 @@ def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None, bounces=None) -
     (1 + light_samples) per launch. ``bounces`` overrides cfg.bounces (the
     survivor-pool scheduler only traces STAGE_BOUNCES per launch, so its
     chunks can be much larger — launches have a large fixed dispatch cost)."""
+    from ..tracer import CLUSTER_LANE_CAP
+
     budget_lanes = film.height * film.width
     if scene.use_clusters:
-        budget_lanes = min(budget_lanes, 32768)
+        budget_lanes = min(budget_lanes, CLUSTER_LANE_CAP)
     elif cfg is not None and scene.num_primitives > 128:
         budget = 6_000_000_000
         depth = bounces if bounces is not None else cfg.bounces
@@ -92,10 +94,16 @@ def pick_sample_batch(film: Film, scene: Scene, cfg: TraceConfig, rows: int) -> 
     floor and intermediates stay HBM-safe."""
     import os
 
+    from ..tracer import CLUSTER_LANE_CAP
+
     cap = int(os.environ.get("PYRITE_TPU_SAMPLE_BATCH", "4"))
-    if rows != film.height or scene.use_clusters or cap <= 1:
+    if rows != film.height or cap <= 1:
         return 1
     lanes = rows * film.width
+    if scene.use_clusters:
+        # widen cluster launches only when the (env-tunable) walk width
+        # allows more than one sample's lanes
+        return max(1, min(cap, CLUSTER_LANE_CAP // max(lanes, 1)))
     if cfg is not None and scene.num_primitives > 128:
         # respect the same per-launch work budget as pick_rows
         budget = 6_000_000_000
@@ -210,20 +218,17 @@ def _accumulate_lane_bins(film: Film, acc_l, wt_l, wavelengths, brightness, aux_
     """Per-lane spectral-bin accumulation for completed paths: the same
     one-hot wavelength->bin contraction as expose_lanes, but into [N, bins]
     per-lane buffers (lanes own fixed pixels, so no cross-lane scatter)."""
+    from ..film import bin_lane_sums
+
     n, s = brightness.shape
-    bins = film.wavelength_to_bin(wavelengths)  # [N, S]
-    onehot = (
-        bins[:, :, None] == jnp.arange(film.bins, dtype=bins.dtype)[None, None, :]
-    ).astype(brightness.dtype)
     mask = complete[:, None] & jnp.concatenate(
         [jnp.ones((n, 1), bool), jnp.broadcast_to(aux_alive[:, None], (n, s - 1))],
         axis=1,
     )
     v = jnp.where(mask, brightness, 0.0)
     w = jnp.where(mask, 1.0, 0.0)
-    acc_l = acc_l + jnp.einsum("ns,nsb->nb", v, onehot)
-    wt_l = wt_l + jnp.einsum("ns,nsb->nb", w, onehot)
-    return acc_l, wt_l
+    da, dw = bin_lane_sums(film, wavelengths, v, w)
+    return acc_l + da, wt_l + dw
 
 
 def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, planes=1, jit=True):
@@ -433,8 +438,10 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
 
 
 def _regen_planes(film: Film, rows: int, use_clusters: bool = False) -> int:
-    # cluster scenes keep the tuned 32k-lane walk width (CLAUDE.md)
-    target = 32768 if use_clusters else REGEN_TARGET_LANES
+    from ..tracer import CLUSTER_LANE_CAP
+
+    # cluster scenes keep the tuned walk width (CLAUDE.md; env-overridable)
+    target = CLUSTER_LANE_CAP if use_clusters else REGEN_TARGET_LANES
     pix = rows * film.width
     return max(1, min(REGEN_MAX_PLANES, target // max(pix, 1)))
 

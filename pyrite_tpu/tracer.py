@@ -1993,6 +1993,10 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # iteration). Tuned on TPU v5e (327k-tri terrain).
 import os as _os
 
+# Lanes per launch on the cluster (wide-BVH) path. The walk's per-outer-
+# iteration cost at 32k lanes is mostly fixed op-dispatch (~60 tiny ops per
+# round), so wider launches amortize it — overridable for TPU A/B runs.
+CLUSTER_LANE_CAP = int(_os.environ.get("PYRITE_TPU_CLUSTER_LANES", "32768"))
 CLUSTER_WALK_STEPS = int(_os.environ.get("PYRITE_TPU_WALK_STEPS", "2"))
 SWEEP_LEAVES = int(_os.environ.get("PYRITE_TPU_SWEEP_LEAVES", "2"))
 COMPACT_DIV = int(_os.environ.get("PYRITE_TPU_COMPACT_DIV", "8"))
