@@ -180,19 +180,17 @@ def bench_simple(scene_path, steps=10):
     return live_rays / per_step / 1e6, executed_rays / per_step / 1e6
 
 
-def bench_simple_regen(scene_path, spp=16, reps=3):
-    """Steady-state Mrays/s of the path-regeneration scheduler (the simple
-    renderer's default path for dense scenes): dead lanes restart a fresh
-    sample in place, so occupancy stays ~100% minus the final paths' tail.
-    The regen step itself counts live and executed lane-bounces; returns
-    (live_mrays, executed_mrays) with NEE shadow rays credited like
-    bench_simple."""
+def _regen_bench_loop(scene_path, spp, reps):
+    """Shared regen-bench harness mirroring simple._render_regen's adaptive
+    quota loop: one uniform warm round learns per-lane completion rates,
+    one adaptive warm round reaches the steady-state quota distribution,
+    then ``reps`` timed adaptive rounds. Returns (live, executed, samples,
+    dt, light_samples) raw sums."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from pyrite_tpu.renderers.simple import (
-        _regen_planes, make_regen_step, pick_rows,
+        _regen_planes, adaptive_quotas, make_regen_step, pick_rows,
     )
 
     _, scene, film, camera, cfg = _build(scene_path)
@@ -200,77 +198,65 @@ def bench_simple_regen(scene_path, spp=16, reps=3):
     planes = _regen_planes(film, rows, scene.use_clusters)
     chunks = film.height // rows
     pix = rows * film.width
+    n = pix * planes
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
 
     data = scene.device_data()
     acc, wt = film.new_buffers()
-    base, rem = divmod(spp, planes)
-    v = np.full(planes, base, np.int32)
-    v[:rem] += 1
-    spp_lane = jnp.asarray(np.repeat(v, pix))
-    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), (reps + 1) * chunks))
+    lane_spp = max(1, spp // planes)
+    rem = np.full(n, 10**6, np.int32)  # throughput bench: never exhausted
+    rate = [None] * chunks
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), (reps + 2) * chunks))
 
-    # warm every chunk shape
-    for c in range(chunks):
-        acc, wt, lv, ex = step(acc, wt, keys[c], data, c * rows, spp_lane)
-    float(lv)
+    def launch(r, c):
+        nonlocal acc, wt
+        quota = adaptive_quotas(rem, rate[c], lane_spp)
+        acc, wt, lv, ex, dn = step(
+            acc, wt, keys[r * chunks + c], data, c * rows, quota
+        )
+        ex_f = float(ex)
+        fresh = np.maximum(np.asarray(dn, np.float32), 0.25) / max(ex_f / n, 1.0)
+        rate[c] = fresh if rate[c] is None else 0.5 * (rate[c] + fresh)
+        return float(lv), ex_f, float(quota.sum())
 
-    lvs, exs = [], []
+    # warm: uniform round (learns rates), then one adaptive round
+    for r in range(2):
+        for c in range(chunks):
+            launch(r, c)
+
+    lvs = exs = samples = 0.0
     t0 = time.time()
     for r in range(reps):
         for c in range(chunks):
-            acc, wt, lv, ex = step(
-                acc, wt, keys[(r + 1) * chunks + c], data, c * rows, spp_lane
-            )
-            lvs.append(lv)
-            exs.append(ex)
-    # launches chain through donated acc/wt; one fetch forces them all
-    float(acc.sum())
+            lv, ex, q = launch(r + 2, c)
+            lvs += lv
+            exs += ex
+            samples += q
+    # the per-launch done-fetch already forces each launch
     dt = time.time() - t0
-    scale = 1 + cfg.light_samples
-    live = sum(float(x) for x in lvs) * scale
-    executed = sum(float(x) for x in exs) * scale
-    return live / dt / 1e6, executed / dt / 1e6
+    return lvs, exs, samples, dt, cfg.light_samples, film.width * film.height
+
+
+def bench_simple_regen(scene_path, spp=16, reps=3):
+    """Steady-state Mrays/s of the path-regeneration scheduler (the simple
+    renderer's default path for dense scenes): dead lanes restart a fresh
+    sample in place and per-lane quotas are depth-balanced, so occupancy
+    stays high at any bounce depth. The regen step itself counts live and
+    executed lane-bounces (live = quota-bound lanes only; discarded
+    overshoot extras are NOT credited); returns (live_mrays,
+    executed_mrays) with NEE shadow rays credited like bench_simple."""
+    lvs, exs, _, dt, light_samples, _ = _regen_bench_loop(scene_path, spp, reps)
+    scale = 1 + light_samples
+    return lvs * scale / dt / 1e6, exs * scale / dt / 1e6
 
 
 def bench_regen_spp(scene_path, spp=16, reps=2):
     """Steady-state samples/sec of the regeneration scheduler on a full
-    scene (deep-bounce dense scenes like diamonds): times ``reps`` launches
-    of ``spp`` samples each after one warm launch."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from pyrite_tpu.renderers.simple import (
-        _regen_planes, make_regen_step, pick_rows,
-    )
-
-    _, scene, film, camera, cfg = _build(scene_path)
-    rows = pick_rows(film, scene, cfg)
-    planes = _regen_planes(film, rows, scene.use_clusters)
-    chunks = film.height // rows
-    pix = rows * film.width
-    step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
-
-    data = scene.device_data()
-    acc, wt = film.new_buffers()
-    base, rem = divmod(spp, planes)
-    v = np.full(planes, base, np.int32)
-    v[:rem] += 1
-    spp_lane = jnp.asarray(np.repeat(v, pix))
-    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), (reps + 1) * chunks))
-
-    for c in range(chunks):
-        acc, wt, lv, ex = step(acc, wt, keys[c], data, c * rows, spp_lane)
-    float(acc.sum())
-    t0 = time.time()
-    for r in range(reps):
-        for c in range(chunks):
-            acc, wt, lv, ex = step(
-                acc, wt, keys[(r + 1) * chunks + c], data, c * rows, spp_lane
-            )
-    float(acc.sum())
-    return reps * spp / (time.time() - t0)
+    scene (deep-bounce dense scenes like diamonds): times ``reps`` adaptive
+    rounds of ~``spp`` samples each after two warm rounds."""
+    _, _, samples, dt, _, pixels = _regen_bench_loop(scene_path, spp, reps)
+    # samples is the per-lane quota sum = exposed samples across the film
+    return samples / pixels / dt
 
 
 def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_every=4):

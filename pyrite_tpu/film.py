@@ -151,11 +151,19 @@ def bin_lane_sums(film: Film, wavelengths, v, w):
     Deliberately a fused compare+select+reduce on the VPU. An einsum
     ("ns,nsb->nb") here lowers to N tiny padded batched matmuls on the MXU,
     which measured ~8x a whole bounce's cost at megabatch width (round-3
-    spheres_regen A/B: 5.7 vs 62.5 Mrays/s live)."""
+    spheres_regen A/B: 5.7 vs 62.5 Mrays/s live). The reduction over S is
+    unrolled so every intermediate stays [N, bins]: the 3D [N, S, bins]
+    one-hot form invites XLA to materialize multi-GB temporaries at
+    megabatch width."""
     bins = film.wavelength_to_bin(wavelengths)  # [N, S]
-    hit = bins[:, :, None] == jnp.arange(film.bins, dtype=bins.dtype)[None, None, :]
-    acc = jnp.sum(jnp.where(hit, v[:, :, None], 0.0), axis=1)
-    wt = jnp.sum(jnp.where(hit, w[:, :, None], 0.0), axis=1)
+    iota = jnp.arange(film.bins, dtype=bins.dtype)[None, :]
+    n, s = v.shape
+    acc = jnp.zeros((n, film.bins), v.dtype)
+    wt = jnp.zeros((n, film.bins), w.dtype)
+    for j in range(s):
+        hit = bins[:, j : j + 1] == iota  # [N, bins]; where not *: 0*inf=nan
+        acc = acc + jnp.where(hit, v[:, j : j + 1], 0.0)
+        wt = wt + jnp.where(hit, w[:, j : j + 1], 0.0)
     return acc, wt
 
 

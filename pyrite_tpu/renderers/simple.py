@@ -192,7 +192,23 @@ def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCo
 # independent stratified draw with the same jitter/lens/wavelength scheme
 # (chunk_rays), the same per-bounce PRNG structure, the same exposure
 # weights (1 per completed sample on the hero column, aux columns masked by
-# the dispersal flag). Only the key derivation differs.
+# the dispersal flag). One documented deviation: the key derivation differs
+# (draws depend on loop iteration, not sample index). Sample counts are
+# EXACT per pixel, but the lanes trace past their quota: a launch runs
+# until its slowest lane completes the per-launch quota, and every dead
+# lane restarts unconditionally in the meantime ("overshoot" — without it,
+# tail idling capped occupancy at ~23% on the spheres bench, and a
+# done->regen data edge tripped a TPU fusion cliff worth ~20 ms/iter at
+# megabatch width). Quota is enforced at EXPOSURE instead: a completed
+# sample is included iff the lane's completion count is still below quota.
+# Within a lane samples complete in start order, so inclusion is exactly
+# "the first Q samples" — a deterministic selection, hence unbiased.
+# (Including the extras instead is biased: the realized per-pixel weight
+# then correlates with path lengths through the stopping rule — measured
+# +7.5% radiance on the deep-bounce parity test; truncating in-flight
+# extras mid-path was worse still, +69% on the terrain parity test.)
+# Overshoot tracing costs no wall time: the loop iteration count is set by
+# the slowest lane either way, so extras ride otherwise-idle lanes.
 
 REGEN_TARGET_LANES = 524288  # megabatch width: amortizes the dispatch floor
 REGEN_MAX_PLANES = 8
@@ -234,12 +250,18 @@ def _accumulate_lane_bins(film: Film, acc_l, wt_l, wavelengths, brightness, aux_
 def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, planes=1, jit=True):
     """Build the jitted path-regeneration launch.
 
-    The step completes ``spp_lane[l]`` full paths on every lane l (``planes``
-    lanes per pixel, so a pixel gains sum-over-its-planes samples per
-    launch), with dead lanes regenerated in place each bounce. ``spp_lane``
-    is a device argument, so launches of any sample count share one compile.
-    Returns (acc, wt, live_bounces, executed_bounces) — the counters feed
-    bench.py's live-lane accounting."""
+    The step exposes EXACTLY ``spp_lane[l]`` full paths on every lane l
+    (``planes`` lanes per pixel, so a pixel gains sum-over-its-planes
+    samples per launch), with dead lanes regenerated in place each bounce.
+    Lanes restart unconditionally until the slowest lane fills its quota
+    (occupancy ~100%); quota is enforced at exposure (first-Q inclusion,
+    see the module comment), so the extras trace but never expose.
+    ``spp_lane`` is a device argument, so launches of any sample count
+    share one compile.
+    Returns (acc, wt, live_bounces, executed_bounces, done) — the counters
+    feed bench.py's live-lane accounting; ``done`` [n] counts ALL
+    completions (including discarded extras), an unbiased per-lane
+    completion-rate signal the host uses for adaptive quota balancing."""
     from ..tracer import bounce_core
 
     rows = film.height if rows is None else rows
@@ -290,24 +312,34 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
             max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
 
             def cond(c):
-                st = c["state"]
-                return jnp.any(st["alive"] | (c["done"] < spp_lane)) & (
-                    c["i"] < max_iters
-                )
+                return jnp.any(c["done"] < spp_lane) & (c["i"] < max_iters)
 
             def body(c):
                 st = c["state"]
-                # 1) expose paths that completed last bounce
+                # 1) expose paths that completed last bounce — but only the
+                # lane's first Q samples (done counts ALL completions; a
+                # completion is included iff the count was still short).
+                # Quota lives HERE and not on the regen mask: a done->regen
+                # data edge tripped a TPU fusion cliff worth ~20 ms/iter at
+                # megabatch width, and gating exposure keeps counts exact.
                 complete = c["pend"] & ~st["alive"]
+                include = complete & (c["done"] < spp_lane)
                 acc_l, wt_l = _accumulate_lane_bins(
                     film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
-                    st["aux_alive"], complete,
+                    st["aux_alive"], include,
                 )
                 done = c["done"] + complete.astype(jnp.int32)
                 pend = c["pend"] & st["alive"]
-                # 2) regenerate: fresh stratified sample at the lane's pixel
-                reg = ~st["alive"] & (done < spp_lane)
-                o2, d2, wl2 = fresh_rays(jax.random.fold_in(k_gen, c["i"]), row0)
+                # 2) regenerate: fresh stratified sample at the lane's
+                # pixel. EVERY dead lane restarts, even past its quota
+                # ("overshoot"): the launch runs until the slowest lane
+                # fills its quota either way, so quota-done lanes trace
+                # discarded extras instead of idling (measured 23%
+                # occupancy without overshoot -- the tail is the loss).
+                reg = ~st["alive"]
+                o2, d2, wl2 = fresh_rays(
+                    jax.random.fold_in(k_gen, c["i"]), row0
+                )
                 rc = reg[:, None]
                 st = {
                     "origin": jnp.where(rc, o2, st["origin"]),
@@ -322,7 +354,12 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 wl = jnp.where(rc, wl2, c["wl"])
                 pend = pend | reg
                 plen = jnp.where(reg, 0, c["plen"])
-                live = c["live"] + jnp.sum(st["alive"].astype(jnp.float32))
+                # live counts only quota-bound lanes (a lane's in-flight
+                # sample index is done+1, so done < Q iff it will expose) —
+                # discarded extras are not useful throughput
+                live = c["live"] + jnp.sum(
+                    (st["alive"] & (done < spp_lane)).astype(jnp.float32)
+                )
                 # 3) one bounce for every live lane
                 st, _ = bounce_core(
                     scene, cfg, wl, st, jax.random.fold_in(k_tr, c["i"])
@@ -344,9 +381,12 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 every next ray (scattered + freshly regenerated) — one walk's
                 per-iteration dispatch per bounce instead of two serial
                 walks'. Exposure runs in-body (after the NEE delta lands) so
-                budget-killed lanes keep their final bounce's NEE."""
+                budget-killed lanes keep their final bounce's NEE. Quota is
+                enforced at exposure exactly as in body()."""
                 st = c["state"]
-                live = c["live"] + jnp.sum(st["alive"].astype(jnp.float32))
+                live = c["live"] + jnp.sum(
+                    (st["alive"] & (c["done"] < spp_lane)).astype(jnp.float32)
+                )
                 new_st, _, nee = bounce_core(
                     scene, cfg, c["wl"], st, jax.random.fold_in(k_tr, c["i"]),
                     hit=c["hit"], defer_nee=True,
@@ -354,8 +394,9 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 plen = c["plen"] + new_st["alive"].astype(jnp.int32)
                 alive = new_st["alive"] & (plen < cfg.bounces)
                 complete = c["pend"] & ~alive
+                include = complete & (c["done"] < spp_lane)
                 done = c["done"] + complete.astype(jnp.int32)
-                reg = ~alive & (done < spp_lane)
+                reg = ~alive  # unconditional overshoot restart: see body()
                 o2, d2, wl2 = fresh_rays(
                     jax.random.fold_in(k_gen, c["i"] + 1), row0
                 )
@@ -370,7 +411,7 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                     brightness = brightness + delta
                 acc_l, wt_l = _accumulate_lane_bins(
                     film, c["acc_l"], c["wt_l"], c["wl"], brightness,
-                    new_st["aux_alive"], complete,
+                    new_st["aux_alive"], include,
                 )
                 wl = jnp.where(rc, wl2, c["wl"])
                 state2 = {
@@ -405,12 +446,14 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 c = jax.lax.while_loop(cond, body_deferred, carry)
             else:
                 c = jax.lax.while_loop(cond, body, carry)
-            # drain: the final iteration's deaths were never exposed in-loop
+            # final-iteration deaths were never exposed in-loop; in-flight
+            # paths at exit are all past-quota extras (discarded by ~alive
+            # here and by the quota mask if dead)
             st = c["state"]
-            complete = c["pend"] & ~st["alive"]
+            include = c["pend"] & ~st["alive"] & (c["done"] < spp_lane)
             acc_l, wt_l = _accumulate_lane_bins(
                 film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
-                st["aux_alive"], complete,
+                st["aux_alive"], include,
             )
             # fold sample planes and write the row window
             acc_delta = acc_l.reshape(planes, pix, film.bins).sum(axis=0)
@@ -431,7 +474,7 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
             executed = c["i"].astype(jnp.float32) * n
             return (
                 flat_acc.reshape(acc.shape), flat_wt.reshape(wt.shape),
-                c["live"], executed,
+                c["live"], executed, c["done"],
             )
 
     return jax.jit(step, donate_argnums=(0, 1)) if jit else step
@@ -446,14 +489,43 @@ def _regen_planes(film: Film, rows: int, use_clusters: bool = False) -> int:
     return max(1, min(REGEN_MAX_PLANES, target // max(pix, 1)))
 
 
+def adaptive_quotas(rem, rate, spp_target):
+    """Per-launch lane quotas balanced by measured completion rates.
+
+    A launch runs until its SLOWEST lane completes its quota, and a lane's
+    mean path depth is a property of its fixed pixel (glass pixels bounce
+    ~6x deeper than sky pixels on the spheres scene), so UNIFORM quotas
+    leave shallow lanes tracing discarded extras for ~4x their own quota's
+    time — the measured live/executed occupancy ceiling was ~23%. Giving
+    every lane quota ~ rate x T makes all lanes finish near the same
+    iteration T. This is the wavefront analogue of the reference's
+    demand-driven task dispatch (renderer/mod.rs:126-189: an idle worker
+    pulls the next tile; here a shallow lane pulls more samples per
+    launch). Exactness is preserved: quotas are clipped to the per-lane
+    remaining counts and the host iterates until all remainders are zero.
+
+    ``rate`` completions/lane/iteration (None before the first launch ->
+    uniform quotas); ``spp_target`` samples the MEAN lane should complete."""
+    import numpy as np
+
+    if rate is None:
+        return np.minimum(rem, spp_target).astype(np.int32)
+    t = spp_target / max(float(rate.mean()), 1e-6)
+    q = np.rint(rate * t).astype(np.int32)
+    # a lane with work always gets at least 1 (its sample is the launch's
+    # critical path whenever 1/rate > t; postponing it only moves the cost)
+    return np.minimum(rem, np.maximum(q, 1)).astype(np.int32)
+
+
 def _render_regen(
     scene, film, camera, cfg, rows, acc, wt, data, seed,
     start_sample, total, on_progress, spp_chunk=None,
 ):
-    """Host driver for the regeneration scheduler: launches complete
-    spp-chunks per row window until the exact requested sample count is
-    reached (remainders split across planes, so sample counts match the
-    sequential renderer exactly)."""
+    """Host driver for the regeneration scheduler: rounds of launches per
+    row window until the exact requested sample count is reached. Quotas
+    within a launch are balanced per lane by measured completion rates
+    (adaptive_quotas); remainders split across planes, so sample counts
+    match the sequential renderer exactly."""
     import numpy as np
 
     planes = _regen_planes(film, rows, scene.use_clusters)
@@ -466,20 +538,40 @@ def _render_regen(
         spp_chunk = 16 if cfg.bounces < POOL_MIN_BOUNCES else 64
     base_key = jax.random.PRNGKey(seed)
     order = chunk_order(chunks)
-    done = start_sample
     pix = rows * film.width
-    while done < total:
-        take = min(spp_chunk, total - done)
-        base, rem = divmod(take, planes)
-        spp_lane = np.full(planes, base, np.int32)
-        spp_lane[:rem] += 1
-        spp_lane = jnp.asarray(np.repeat(spp_lane, pix))
+    n = pix * planes
+    # per-lane remaining counts: planes split the per-pixel request
+    base, r = divmod(total - start_sample, planes)
+    v = np.full(planes, base, np.int32)
+    v[:r] += 1
+    rem = np.broadcast_to(np.repeat(v, pix), (chunks, n)).copy()
+    rate = [None] * chunks
+    rnd = 0
+    while rem.any():
         for ci in order:
-            key = jax.random.fold_in(jax.random.fold_in(base_key, ci), done)
-            acc, wt, _, _ = step(acc, wt, key, data, ci * rows, spp_lane)
-        done += take
+            if not rem[ci].any():
+                continue
+            quota = adaptive_quotas(rem[ci], rate[ci], spp_chunk)
+            key = jax.random.fold_in(jax.random.fold_in(base_key, ci), rnd)
+            acc, wt, _, ex, dn = step(
+                acc, wt, key, data, ci * rows, jnp.asarray(quota)
+            )
+            rem[ci] -= quota
+            # completion rate (incl. discarded extras — they complete at the
+            # lane's own pace, so they are an unbiased rate signal); the
+            # iteration count is RNG-deterministic, so quotas (and the whole
+            # render) stay reproducible for a given seed
+            iters = max(float(ex) / n, 1.0)
+            fresh = np.maximum(np.asarray(dn, np.float32), 0.25) / iters
+            rate[ci] = fresh if rate[ci] is None else 0.5 * (rate[ci] + fresh)
+        rnd += 1
         if on_progress is not None:
-            on_progress(RenderProgress(sample=done, total=total, acc=acc, wt=wt, film=film))
+            done_min = total - int(
+                np.max(rem.reshape(chunks, planes, pix).sum(axis=1))
+            )
+            on_progress(RenderProgress(
+                sample=done_min, total=total, acc=acc, wt=wt, film=film,
+            ))
     return film, acc, wt
 
 
@@ -952,8 +1044,10 @@ def _render_regen_sharded(
     regen wavefront (lanes own the same pixels on every device; the sample
     axis is sharded), with per-device sample targets riding in as a sharded
     [D, n] array — so the exact requested sample count is honored even when
-    it doesn't divide by the device count. Film merge stays the single psum
-    at development time (parallel/mesh.py semantics)."""
+    it doesn't divide by the device count (lanes trace past quota for
+    occupancy but the extras never expose, see make_regen_step). Film merge
+    stays the single psum at development time (parallel/mesh.py
+    semantics)."""
     import numpy as np
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -971,7 +1065,7 @@ def _render_regen_sharded(
     step_raw = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes, jit=False)
 
     def per_device(acc, wt, keys, spp_lane, data, row0):
-        acc2, wt2, _, _ = step_raw(acc[0], wt[0], keys[0], data, row0, spp_lane[0])
+        acc2, wt2, _, _, _ = step_raw(acc[0], wt[0], keys[0], data, row0, spp_lane[0])
         return acc2[None], wt2[None]
 
     sharded = jax.jit(

@@ -39,8 +39,13 @@ def main():
     arg = lambda i, d: type(d)(sys.argv[i]) if len(sys.argv) > i else d  # noqa: E731
 
     if case == "spheres_regen":
-        live, executed = bench.bench_simple_regen(f"{REF}/spheres/spheres.lua")
-        print(f"spheres_regen live={live:.1f} executed={executed:.1f} Mrays/s")
+        # optional spp-per-launch arg: the launch tail (max over lanes of
+        # quota-completion time) amortizes with bigger per-launch quotas
+        spp = arg(2, 16)
+        live, executed = bench.bench_simple_regen(
+            f"{REF}/spheres/spheres.lua", spp=spp
+        )
+        print(f"spheres_regen spp={spp} live={live:.1f} executed={executed:.1f} Mrays/s")
     elif case == "spheres_oneshot":
         live, executed = bench.bench_simple(f"{REF}/spheres/spheres.lua")
         print(f"spheres_oneshot live={live:.1f} executed={executed:.1f} Mrays/s")
@@ -52,7 +57,7 @@ def main():
             spp=8, bounces=4,
         )
         if case == "terrain_regen":
-            live, executed = bench.bench_simple_regen(lua, spp=8, reps=2)
+            live, executed = bench.bench_simple_regen(lua, spp=arg(3, 8), reps=2)
         else:
             live, executed = bench.bench_simple(lua, steps=3)
         print(f"{case} tris={tris} live={live:.3f} executed={executed:.3f} Mrays/s")
