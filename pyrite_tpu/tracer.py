@@ -2003,6 +2003,15 @@ COMPACT_DIV = int(_os.environ.get("PYRITE_TPU_COMPACT_DIV", "8"))
 # pending-leaf registers per lane (1 = classic walk; 2 = a lane keeps
 # walking while one cluster's leaves await their sweep)
 CLUSTER_PENDING_REGS = int(_os.environ.get("PYRITE_TPU_PENDING_REGS", "2"))
+# fetch walk rows via a one-hot MXU matmul instead of a dynamic row-gather
+# (A/B knob: the [N]-lane gather from the [273, 128] node table costs
+# ~0.37 ms at 32k lanes; a [N, rows] @ [rows, 128] matmul may beat it)
+CLUSTER_ONEHOT_ROWS = int(_os.environ.get("PYRITE_TPU_ONEHOT_ROWS", "0"))
+# carry the query state through the XLA walk as ONE packed [n, S] f32 sheet
+# so each compaction round moves 1 gather + 1 scatter instead of ~2 ops per
+# state leaf (each [32k]-lane gather/scatter costs ~fixed dispatch time on
+# axon — op count, not bytes, bounds the compaction block)
+CLUSTER_PACK_STATE = int(_os.environ.get("PYRITE_TPU_PACK_STATE", "0"))
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 
 
@@ -2097,6 +2106,41 @@ def _cluster_traverse(
     width = n // COMPACT_DIV
     compact = n >= COMPACT_MIN and width > 0
 
+    if CLUSTER_ONEHOT_ROWS:
+        # Node-row fetch as a one-hot MXU matmul instead of a dynamic
+        # row-gather. Sentinel +-inf box planes are clamped to +-1e30 first
+        # (0 * inf = NaN would poison every fetched row); an inverted 1e30
+        # box still never passes the slab test, and the row validity bitmask
+        # (col 97) masks empty child slots regardless.
+        rows_fin = jnp.clip(rows, -1e30, 1e30)
+        row_iota = jnp.arange(rows.shape[0], dtype=jnp.int32)
+
+        def fetch_rows(idx):
+            oh = (idx[:, None] == row_iota[None, :]).astype(rows.dtype)
+            return oh @ rows_fin
+
+    else:
+        def fetch_rows(idx):
+            return rows[idx]
+
+    # state packing (see CLUSTER_PACK_STATE): kind/idx/leaf ids are exact in
+    # f32 (all < 2^24), so the sheet round-trips every state leaf losslessly
+    pack_lanes = CLUSTER_PACK_STATE and not use_pallas
+    skeys = sorted(init_state)
+    sdtypes = [init_state[k].dtype for k in skeys]
+    t_col = skeys.index("t")
+
+    def pack_state(st):
+        return jnp.stack([st[k].astype(jnp.float32) for k in skeys], axis=1)
+
+    def unpack_state(sheet):
+        return {
+            k: sheet[:, i].astype(dt)
+            for i, (k, dt) in enumerate(zip(skeys, sdtypes))
+        }
+
+    ray6 = jnp.concatenate([origin, direction], axis=1)
+
     root = rows[0:1]
     m0 = _slab16(root, origin, inv_dir, init_state["t"])
     ph0 = _axis_sign(jnp.broadcast_to(root, (n, 128)), direction)
@@ -2104,7 +2148,8 @@ def _cluster_traverse(
     false = jnp.zeros(n, bool)
     carry0 = (
         m0, zeros, zeros, zeros, zeros, ph0, false, false,
-        zeros, zeros, false, init_state,
+        zeros, zeros, false,
+        pack_state(init_state) if pack_lanes else init_state,
     )
 
     def outer_cond(carry):
@@ -2153,6 +2198,7 @@ def _cluster_traverse(
     def outer_body(carry):
         m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state = carry
         regs2 = CLUSTER_PENDING_REGS >= 2
+        t_cur = state[:, t_col] if pack_lanes else state["t"]
 
         def pop(_, walk):
             m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b = walk
@@ -2170,8 +2216,8 @@ def _cluster_traverse(
                 17 + cur2,
                 jnp.where(act1, 17 + cur1 * 16 + k1, jnp.where(act0, 1 + k0, 0)),
             )
-            row = rows[row_idx]
-            bits = _slab16(row, origin, inv_dir, state["t"])
+            row = fetch_rows(row_idx)
+            bits = _slab16(row, origin, inv_dir, t_cur)
             sign = _axis_sign(row, direction)
             if regs2:
                 into_a = act1 & (m2 == 0)
@@ -2217,10 +2263,14 @@ def _cluster_traverse(
         leaf_act = jnp.stack([has for _, has in ks], axis=1)
 
         if not compact:
-            updated = leaf_sweep(leaf_ids, origin, direction, state, leaf_act)
-            state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(at_leaf, new, old), updated, state
-            )
+            st_dict = unpack_state(state) if pack_lanes else state
+            updated = leaf_sweep(leaf_ids, origin, direction, st_dict, leaf_act)
+            if pack_lanes:
+                state = jnp.where(at_leaf[:, None], pack_state(updated), state)
+            else:
+                state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(at_leaf, new, old), updated, state
+                )
             swept = at_leaf
         else:
             # ray compaction: scatter the first `width` parked lane ids into
@@ -2238,18 +2288,41 @@ def _cluster_traverse(
             n_swept = jnp.minimum(jnp.sum(at_leaf), width)
             valid = jnp.arange(width) < n_swept
 
-            sub_state = jax.tree_util.tree_map(lambda x: x[sel], state)
-            updated = leaf_sweep(
-                leaf_ids[sel], origin[sel], direction[sel], sub_state,
-                leaf_act[sel] & valid[:, None],
-            )
-            # unselected slots alias a real lane: drop them on the way back
-            back = jnp.where(valid, sel, n)
-            state = jax.tree_util.tree_map(
-                lambda old, new: old.at[back].set(new, mode="drop"),
-                state,
-                updated,
-            )
+            if pack_lanes:
+                # one concat + one row-gather moves the ray, the pending
+                # leaves, and the whole query state for the swept prefix
+                q = leaf_ids.shape[1]
+                sheet = jnp.concatenate(
+                    [
+                        ray6,
+                        leaf_ids.astype(jnp.float32),
+                        leaf_act.astype(jnp.float32),
+                        state,
+                    ],
+                    axis=1,
+                )
+                sub = sheet[sel]
+                updated = leaf_sweep(
+                    sub[:, 6:6 + q].astype(jnp.int32),
+                    sub[:, 0:3], sub[:, 3:6],
+                    unpack_state(sub[:, 6 + 2 * q:]),
+                    (sub[:, 6 + q:6 + 2 * q] > 0.5) & valid[:, None],
+                )
+                back = jnp.where(valid, sel, n)
+                state = state.at[back].set(pack_state(updated), mode="drop")
+            else:
+                sub_state = jax.tree_util.tree_map(lambda x: x[sel], state)
+                updated = leaf_sweep(
+                    leaf_ids[sel], origin[sel], direction[sel], sub_state,
+                    leaf_act[sel] & valid[:, None],
+                )
+                # unselected slots alias a real lane: drop on the way back
+                back = jnp.where(valid, sel, n)
+                state = jax.tree_util.tree_map(
+                    lambda old, new: old.at[back].set(new, mode="drop"),
+                    state,
+                    updated,
+                )
 
         m2 = jnp.where(swept, m2_pop, m2)
         m2b = jnp.where(swept, m2b_pop, m2b)
@@ -2261,7 +2334,7 @@ def _cluster_traverse(
         m2b = jnp.where(promote, 0, m2b)
         if exit_below is not None:
             # any-hit query: a lane that found a definitive blocker exits
-            done = state["t"] < exit_below
+            done = (state[:, t_col] if pack_lanes else state["t"]) < exit_below
             m0 = jnp.where(done, 0, m0)
             m1 = jnp.where(done, 0, m1)
             m2 = jnp.where(done, 0, m2)
@@ -2271,7 +2344,7 @@ def _cluster_traverse(
     carry = jax.lax.while_loop(
         outer_cond, outer_body_pallas if use_pallas else outer_body, carry0
     )
-    return carry[-1]
+    return unpack_state(carry[-1]) if pack_lanes else carry[-1]
 
 
 def _leaf_geometry(scene: Scene, leaf_ids, active):
