@@ -2003,15 +2003,17 @@ COMPACT_DIV = int(_os.environ.get("PYRITE_TPU_COMPACT_DIV", "8"))
 # pending-leaf registers per lane (1 = classic walk; 2 = a lane keeps
 # walking while one cluster's leaves await their sweep)
 CLUSTER_PENDING_REGS = int(_os.environ.get("PYRITE_TPU_PENDING_REGS", "2"))
-# fetch walk rows via a one-hot MXU matmul instead of a dynamic row-gather
-# (A/B knob: the [N]-lane gather from the [273, 128] node table costs
-# ~0.37 ms at 32k lanes; a [N, rows] @ [rows, 128] matmul may beat it)
-CLUSTER_ONEHOT_ROWS = int(_os.environ.get("PYRITE_TPU_ONEHOT_ROWS", "0"))
+# fetch walk rows via a one-hot MXU matmul instead of a dynamic row-gather:
+# the [N]-lane gather from the [273, 128] node table costs ~0.37 ms per pop
+# at 32k lanes; the [N, rows] @ [rows, 128] matmul beats it (terrain A/B
+# series3: 0.814 vs 0.562 Mrays/s live, 1.45x)
+CLUSTER_ONEHOT_ROWS = int(_os.environ.get("PYRITE_TPU_ONEHOT_ROWS", "1"))
 # carry the query state through the XLA walk as ONE packed [n, S] f32 sheet
 # so each compaction round moves 1 gather + 1 scatter instead of ~2 ops per
 # state leaf (each [32k]-lane gather/scatter costs ~fixed dispatch time on
-# axon — op count, not bytes, bounds the compaction block)
-CLUSTER_PACK_STATE = int(_os.environ.get("PYRITE_TPU_PACK_STATE", "0"))
+# axon — op count, not bytes, bounds the compaction block; terrain A/B
+# series3: 1.21x alone, 1.73x stacked with one-hot rows at 0.971 Mrays/s)
+CLUSTER_PACK_STATE = int(_os.environ.get("PYRITE_TPU_PACK_STATE", "1"))
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 
 
