@@ -211,13 +211,17 @@ def _regen_bench_loop(scene_path, spp, reps):
     def launch(r, c):
         nonlocal acc, wt
         quota = adaptive_quotas(rem, rate[c], lane_spp)
+        # soft tail as in _render_regen: leave <=1% of lanes short per
+        # launch (their samples are NOT counted — realized completions only)
         acc, wt, lv, ex, dn = step(
-            acc, wt, keys[r * chunks + c], data, c * rows, quota
+            acc, wt, keys[r * chunks + c], data, c * rows, quota,
+            np.int32(n // 100),
         )
         ex_f = float(ex)
-        fresh = np.maximum(np.asarray(dn, np.float32), 0.25) / max(ex_f / n, 1.0)
+        dn_h = np.asarray(dn)
+        fresh = np.maximum(dn_h.astype(np.float32), 0.25) / max(ex_f / n, 1.0)
         rate[c] = fresh if rate[c] is None else 0.5 * (rate[c] + fresh)
-        return float(lv), ex_f, float(quota.sum())
+        return float(lv), ex_f, float(np.minimum(dn_h, quota).sum())
 
     # warm: uniform round (learns rates), then one adaptive round
     for r in range(2):
@@ -237,7 +241,7 @@ def _regen_bench_loop(scene_path, spp, reps):
     return lvs, exs, samples, dt, cfg.light_samples, film.width * film.height
 
 
-def bench_simple_regen(scene_path, spp=16, reps=3):
+def bench_simple_regen(scene_path, spp=160, reps=3):
     """Steady-state Mrays/s of the path-regeneration scheduler (the simple
     renderer's default path for dense scenes): dead lanes restart a fresh
     sample in place and per-lane quotas are depth-balanced, so occupancy
@@ -332,6 +336,12 @@ def bench_terrain(steps=3):
     lua, tris = terrain_scene(
         tempfile.mkdtemp(), cells=405, width=256, height=128, spp=8, bounces=4
     )
+    # the render default for cluster scenes is the regen scheduler
+    # (regen_clusters_enabled; series6: 1.125 vs 0.971 one-shot live)
+    from pyrite_tpu.renderers.simple import regen_clusters_enabled
+
+    if regen_clusters_enabled():
+        return bench_simple_regen(lua, spp=64, reps=2)[0], tris
     return bench_simple(lua, steps=steps)[0], tris
 
 

@@ -264,6 +264,132 @@ def _walk_call(rows_pad, origin, direction, t, m0, m1, m2, cur1, cur2, ph, *, in
     return tuple(out)
 
 
+# --- single-pop fetch+slab kernel --------------------------------------------
+#
+# The XLA pop loop's per-iteration cost is dominated by the node-row fetch:
+# a dynamic [N]-row gather costs ~0.37 ms at 32k lanes, and the XLA one-hot
+# matmul replacement (tracer.CLUSTER_ONEHOT_ROWS) still materializes the
+# [N, rows] one-hot in HBM (~36 MB round-trip per pop). This kernel fuses
+# one pop's row fetch (one-hot dot against the VMEM-resident table) + slab
+# test + axis sign into ONE dispatch with no HBM intermediates. Unlike
+# walk_collect it keeps the outer loop structure in XLA (sweep pruning
+# between pops stays identical to the XLA walk), so it is a drop-in
+# replacement for the fetch+slab pair inside tracer._cluster_traverse.
+
+
+def fetch_slab_enabled() -> bool:
+    """Opt-in for the fused pop fetch+slab kernel (A/B knob).
+    PYRITE_TPU_FETCH_KERNEL=1 enables it on TPU; =interpret everywhere.
+    WARNING: measured on axon (series6) the kernel CRASHES the TPU worker
+    ("UNAVAILABLE: TPU worker process crashed ... kernel fault") when
+    dispatched from inside the walk's fori_loop(pop) x while_loop nest —
+    the standalone walk_collect kernel (called once per outer round, no
+    fori nesting) runs fine, so the suspect is the extra loop nesting.
+    Parity in interpret mode passes. Kept for future debugging; the XLA
+    one-hot path (tracer.CLUSTER_ONEHOT_ROWS) is the production default."""
+    mode = os.environ.get("PYRITE_TPU_FETCH_KERNEL", "auto")
+    if mode in ("0", "auto"):
+        return False
+    if mode == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fetch_slab_kernel(
+    rows_ref, idx_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    t_ref, bits_ref, sign_ref,
+):
+    """One block's pop: one-hot row fetch + 16-child slab test + axis sign
+    (tracer._slab16/_axis_sign semantics; spatial/bvh.rs:201-230 pruning)."""
+    rows = rows_ref[:]  # [ROWS_PAD, 128], sentinels pre-clamped (pad_rows)
+    idx = idx_ref[:]
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    t = t_ref[:]
+    b = idx.shape[0]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, ROWS_PAD), 1)
+    onehot = (row_ids == idx[:, None]).astype(jnp.float32)
+    row = jnp.dot(onehot, rows, preferred_element_type=jnp.float32)
+
+    lox, loy, loz = row[:, 0:16], row[:, 16:32], row[:, 32:48]
+    hix, hiy, hiz = row[:, 48:64], row[:, 64:80], row[:, 80:96]
+    t1x = (lox - ox[:, None]) * ix[:, None]
+    t2x = (hix - ox[:, None]) * ix[:, None]
+    t1y = (loy - oy[:, None]) * iy[:, None]
+    t2y = (hiy - oy[:, None]) * iy[:, None]
+    t1z = (loz - oz[:, None]) * iz[:, None]
+    t2z = (hiz - oz[:, None]) * iz[:, None]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    hit = (tmax >= tmin) & (tmax >= 0.0) & (jnp.maximum(tmin, 0.0) < t[:, None])
+    col16 = jax.lax.broadcasted_iota(jnp.int32, (b, 16), 1)
+    shift16 = (1 << col16).astype(jnp.float32)  # exact: <= 2^15
+    bits = jnp.sum(jnp.where(hit, shift16, 0.0), axis=1).astype(jnp.int32)
+    bits_ref[:] = bits & row[:, 97].astype(jnp.int32)
+
+    axis = row[:, 96].astype(jnp.int32)
+    d = jnp.where(axis == 0, dx, jnp.where(axis == 1, dy, dz))
+    sign_ref[:] = (d < 0.0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fetch_slab_call(rows_pad, idx, origin, direction, t, *, interpret=False):
+    from jax.experimental import pallas as pl
+
+    n = idx.shape[0]
+    block = WALK_BLOCK
+    pad = (-n) % block
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros(pad, idx.dtype)])
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3))])
+        direction = jnp.concatenate([direction, jnp.ones((pad, 3))])
+        t = jnp.concatenate([t, jnp.full(pad, jnp.inf, t.dtype)])
+    np_ = n + pad
+
+    lane = pl.BlockSpec((block,), lambda i: (i,))
+    out = pl.pallas_call(
+        _fetch_slab_kernel,
+        grid=(np_ // block,),
+        in_specs=[pl.BlockSpec((ROWS_PAD, 128), lambda i: (0, 0))]
+        + [lane] * 8,
+        out_specs=[lane, lane],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+            jax.ShapeDtypeStruct((np_,), jnp.int32),
+        ],
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(
+        rows_pad,
+        idx,
+        origin[:, 0], origin[:, 1], origin[:, 2],
+        direction[:, 0], direction[:, 1], direction[:, 2],
+        t,
+    )
+    bits, sign = out
+    if pad:
+        bits, sign = bits[:n], sign[:n]
+    return bits, sign
+
+
+def fetch_slab(rows_pad, idx, origin, direction, t):
+    """Fused pop: per-lane node row fetch + slab bitmask + axis sign.
+    Returns (bits [n] int32, sign [n] int32 0/1)."""
+    interp = (
+        os.environ.get("PYRITE_TPU_FETCH_KERNEL", "auto") == "interpret"
+        or _interpret()
+    )
+    return _fetch_slab_call(rows_pad, idx, origin, direction, t, interpret=interp)
+
+
 # --- leaf sweep kernel -------------------------------------------------------
 #
 # After the walk kernel parks every lane on up to WALK_LEAVES leaf clusters,

@@ -221,13 +221,15 @@ def regen_enabled() -> bool:
 
 
 def regen_clusters_enabled() -> bool:
-    """Opt-in regen for cluster (wide-BVH) scenes: the traversal is bound by
+    """Regen for cluster (wide-BVH) scenes: the traversal is bound by
     per-walk-iteration dispatch, so regen's occupancy win shrinks the number
     of bounce iterations per sample (bounces / E[path length]) rather than
-    the per-iteration cost. Off by default until measured on TPU."""
+    the per-iteration cost. Default ON since series6 measured it past the
+    one-shot walk on the 328k-tri terrain (1.125 vs 0.971 Mrays/s live)
+    with adaptive quotas + the soft-tail launch exit."""
     import os
 
-    return os.environ.get("PYRITE_TPU_REGEN_CLUSTERS", "0") == "1"
+    return os.environ.get("PYRITE_TPU_REGEN_CLUSTERS", "1") == "1"
 
 
 def _accumulate_lane_bins(film: Film, acc_l, wt_l, wavelengths, brightness, aux_alive, complete):
@@ -250,14 +252,20 @@ def _accumulate_lane_bins(film: Film, acc_l, wt_l, wavelengths, brightness, aux_
 def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceConfig, rows=None, planes=1, jit=True):
     """Build the jitted path-regeneration launch.
 
-    The step exposes EXACTLY ``spp_lane[l]`` full paths on every lane l
+    The step exposes AT MOST ``spp_lane[l]`` full paths on every lane l
     (``planes`` lanes per pixel, so a pixel gains sum-over-its-planes
     samples per launch), with dead lanes regenerated in place each bounce.
-    Lanes restart unconditionally until the slowest lane fills its quota
-    (occupancy ~100%); quota is enforced at exposure (first-Q inclusion,
-    see the module comment), so the extras trace but never expose.
-    ``spp_lane`` is a device argument, so launches of any sample count
-    share one compile.
+    Lanes restart unconditionally while the launch runs (occupancy ~100%);
+    quota is enforced at exposure (first-Q inclusion, see the module
+    comment), so extras trace but never expose. The launch exits once at
+    most ``tail_count`` lanes are still short of quota — the host carries
+    their remainders into the next launch's quotas (exactness preserved:
+    callers subtract REALIZED completions, min(done, quota), from the
+    per-lane remainders), so the slowest ~1% of lanes never serialize the
+    other 99% (the measured tail cost: spheres live throughput rose 54 ->
+    115 Mrays/s as per-launch quotas grew 16 -> 150, purely from tail
+    amortization). ``spp_lane`` and ``tail_count`` are device arguments,
+    so launches of any sample count share one compile.
     Returns (acc, wt, live_bounces, executed_bounces, done) — the counters
     feed bench.py's live-lane accounting; ``done`` [n] counts ALL
     completions (including discarded extras), an unbiased per-lane
@@ -292,7 +300,7 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
 
     deferred = scene.use_clusters and tracer_mod.merged_traversal_enabled()
 
-    def step(acc, wt, key, data, row0, spp_lane):
+    def step(acc, wt, key, data, row0, spp_lane, tail_count=0):
         with scene.bind(data):
             k_gen = jax.random.fold_in(key, 7919)
             k_tr = jax.random.fold_in(key, 7)
@@ -312,7 +320,8 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
             max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
 
             def cond(c):
-                return jnp.any(c["done"] < spp_lane) & (c["i"] < max_iters)
+                short = jnp.sum((c["done"] < spp_lane).astype(jnp.int32))
+                return (short > tail_count) & (c["i"] < max_iters)
 
             def body(c):
                 st = c["state"]
@@ -450,7 +459,8 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
             # paths at exit are all past-quota extras (discarded by ~alive
             # here and by the quota mask if dead)
             st = c["state"]
-            include = c["pend"] & ~st["alive"] & (c["done"] < spp_lane)
+            complete_f = c["pend"] & ~st["alive"]
+            include = complete_f & (c["done"] < spp_lane)
             acc_l, wt_l = _accumulate_lane_bins(
                 film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
                 st["aux_alive"], include,
@@ -472,9 +482,15 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 start, axis=0,
             )
             executed = c["i"].astype(jnp.float32) * n
+            # the returned completion counts MUST include the post-loop
+            # exposure's completions: the host subtracts min(done, quota)
+            # from its remainders, and under the soft-tail exit a lane short
+            # of quota can complete (and expose) on the final iteration —
+            # omitting it here double-counts that sample next launch
+            done_out = c["done"] + complete_f.astype(jnp.int32)
             return (
                 flat_acc.reshape(acc.shape), flat_wt.reshape(wt.shape),
-                c["live"], executed, c["done"],
+                c["live"], executed, done_out,
             )
 
     return jax.jit(step, donate_argnums=(0, 1)) if jit else step
@@ -524,18 +540,23 @@ def _render_regen(
     """Host driver for the regeneration scheduler: rounds of launches per
     row window until the exact requested sample count is reached. Quotas
     within a launch are balanced per lane by measured completion rates
-    (adaptive_quotas); remainders split across planes, so sample counts
-    match the sequential renderer exactly."""
+    (adaptive_quotas), and each launch exits once <=1% of lanes are short
+    of quota (soft tail — the remainders carry into the next round's
+    quotas, so the slowest lanes never serialize the rest); remainders
+    split across planes, so sample counts match the sequential renderer
+    exactly."""
     import numpy as np
 
     planes = _regen_planes(film, rows, scene.use_clusters)
     chunks = film.height // rows
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
     if spp_chunk is None:
-        # bound one launch's expected work: ~16 samples/pixel for shallow
-        # budgets; deep budgets amortize the final paths' tail over more
-        # samples (the tail costs up to cfg.bounces full-width iterations)
-        spp_chunk = 16 if cfg.bounces < POOL_MIN_BOUNCES else 64
+        # per-LANE quota target per launch. Bigger launches amortize what
+        # the soft tail doesn't cover (series6, spheres live Mrays/s: 40.4
+        # at lane-chunk 4, 105.9 at lane-chunk ~37; terrain 1.125 at 64);
+        # kept below the whole budget so previews/checkpoints still land
+        # between launches
+        spp_chunk = 64 if (scene.use_clusters or cfg.bounces >= POOL_MIN_BOUNCES) else 40
     base_key = jax.random.PRNGKey(seed)
     order = chunk_order(chunks)
     pix = rows * film.width
@@ -552,17 +573,29 @@ def _render_regen(
             if not rem[ci].any():
                 continue
             quota = adaptive_quotas(rem[ci], rate[ci], spp_chunk)
-            key = jax.random.fold_in(jax.random.fold_in(base_key, ci), rnd)
-            acc, wt, _, ex, dn = step(
-                acc, wt, key, data, ci * rows, jnp.asarray(quota)
+            # soft tail: the launch may leave up to 1% of lanes short, but
+            # must complete at least one quota-bound lane so the host loop
+            # always progresses
+            active = int((quota > 0).sum())
+            tail = min(n // 100, active - 1) if active > 1 else 0
+            # fold the resume offset too: a resumed render must not replay
+            # the fresh render's key sequence (same keys + same scene =
+            # duplicated sample streams)
+            key = jax.random.fold_in(
+                jax.random.fold_in(base_key, ci), rnd + start_sample
             )
-            rem[ci] -= quota
+            acc, wt, _, ex, dn = step(
+                acc, wt, key, data, ci * rows, jnp.asarray(quota),
+                jnp.int32(tail),
+            )
+            dn_h = np.asarray(dn)
+            rem[ci] -= np.minimum(dn_h, quota)
             # completion rate (incl. discarded extras — they complete at the
             # lane's own pace, so they are an unbiased rate signal); the
             # iteration count is RNG-deterministic, so quotas (and the whole
             # render) stay reproducible for a given seed
             iters = max(float(ex) / n, 1.0)
-            fresh = np.maximum(np.asarray(dn, np.float32), 0.25) / iters
+            fresh = np.maximum(dn_h.astype(np.float32), 0.25) / iters
             rate[ci] = fresh if rate[ci] is None else 0.5 * (rate[ci] + fresh)
         rnd += 1
         if on_progress is not None:
@@ -1045,7 +1078,9 @@ def _render_regen_sharded(
     axis is sharded), with per-device sample targets riding in as a sharded
     [D, n] array — so the exact requested sample count is honored even when
     it doesn't divide by the device count (lanes trace past quota for
-    occupancy but the extras never expose, see make_regen_step). Film merge
+    occupancy but the extras never expose, see make_regen_step). Quotas are
+    balanced per device lane from measured completion rates and each launch
+    exits at the <=1% soft tail, exactly as in _render_regen. Film merge
     stays the single psum at development time (parallel/mesh.py
     semantics)."""
     import numpy as np
@@ -1064,16 +1099,18 @@ def _render_regen_sharded(
 
     step_raw = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes, jit=False)
 
-    def per_device(acc, wt, keys, spp_lane, data, row0):
-        acc2, wt2, _, _, _ = step_raw(acc[0], wt[0], keys[0], data, row0, spp_lane[0])
-        return acc2[None], wt2[None]
+    def per_device(acc, wt, keys, spp_lane, tail, data, row0):
+        acc2, wt2, _, ex, dn = step_raw(
+            acc[0], wt[0], keys[0], data, row0, spp_lane[0], tail[0]
+        )
+        return acc2[None], wt2[None], ex[None], dn[None]
 
     sharded = jax.jit(
         shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-            out_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
             check_vma=False,
         ),
         donate_argnums=(0, 1),
@@ -1087,30 +1124,59 @@ def _render_regen_sharded(
     acc, wt = device_film_buffers(film, mesh, resume=resume_films)
     spp_sharding = NamedSharding(mesh, P(axis))
 
-    spp_chunk = (16 if cfg.bounces < POOL_MIN_BOUNCES else 64) * n_dev
+    lane_chunk = 64 if (scene.use_clusters or cfg.bounces >= POOL_MIN_BOUNCES) else 40
     key = jax.random.PRNGKey(seed)
     order = chunk_order(chunks)
-    done = start
-    group = -(-start // spp_chunk)
-    while done < total:
-        take = min(spp_chunk, total - done)
-        dev_base, dev_rem = divmod(take, n_dev)
-        lane_targets = np.zeros((n_dev, n), np.int32)
-        for d in range(n_dev):
-            dev_take = dev_base + (1 if d < dev_rem else 0)
-            b, r = divmod(dev_take, planes)
-            v = np.full(planes, b, np.int32)
-            v[:r] += 1
-            lane_targets[d] = np.repeat(v, pix)
-        spp_lane = jax.device_put(lane_targets, spp_sharding)
+    # per-device, per-lane remaining counts: devices then planes split the
+    # per-pixel request
+    rem = np.zeros((chunks, n_dev, n), np.int32)
+    dev_base, dev_extra = divmod(total - start, n_dev)
+    for d in range(n_dev):
+        dev_take = dev_base + (1 if d < dev_extra else 0)
+        b, r = divmod(dev_take, planes)
+        v = np.full(planes, b, np.int32)
+        v[:r] += 1
+        rem[:, d, :] = np.repeat(v, pix)[None]
+    rate = [[None] * n_dev for _ in range(chunks)]
+    rnd = 0
+    while rem.any():
         for ci in order:
-            keys = step_keys(key, n_dev, group * chunks + ci)
-            acc, wt = sharded(acc, wt, keys, spp_lane, data, ci * rows)
-        done += take
-        group += 1
+            if not rem[ci].any():
+                continue
+            quota = np.stack([
+                adaptive_quotas(rem[ci, d], rate[ci][d], lane_chunk)
+                for d in range(n_dev)
+            ])
+            tails = np.zeros(n_dev, np.int32)
+            for d in range(n_dev):
+                active = int((quota[d] > 0).sum())
+                tails[d] = min(n // 100, active - 1) if active > 1 else 0
+            keys = step_keys(key, n_dev, (rnd + start) * chunks + ci)
+            acc, wt, ex, dn = sharded(
+                acc, wt, keys,
+                jax.device_put(quota, spp_sharding),
+                jax.device_put(tails, spp_sharding),
+                data, ci * rows,
+            )
+            dn_h = np.asarray(dn)
+            ex_h = np.asarray(ex)
+            rem[ci] -= np.minimum(dn_h, quota)
+            for d in range(n_dev):
+                iters = max(float(ex_h[d]) / n, 1.0)
+                fresh = np.maximum(dn_h[d].astype(np.float32), 0.25) / iters
+                rate[ci][d] = (
+                    fresh if rate[ci][d] is None else 0.5 * (rate[ci][d] + fresh)
+                )
+        rnd += 1
         if on_progress is not None:
+            worst = int(
+                np.max(rem.reshape(chunks, n_dev * planes, pix).sum(axis=1))
+            )
             merged_acc, merged_wt = merge_films(acc, wt)
-            on_progress(RenderProgress(sample=done, total=total, acc=merged_acc, wt=merged_wt, film=film))
+            on_progress(RenderProgress(
+                sample=total - worst, total=total,
+                acc=merged_acc, wt=merged_wt, film=film,
+            ))
     merged_acc, merged_wt = merge_films(acc, wt)
     return film, merged_acc, merged_wt
 

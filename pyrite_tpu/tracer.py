@@ -2197,6 +2197,12 @@ def _cluster_traverse(
             m2 = jnp.where(done, 0, m2)
         return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
+    # fused pop kernel: one dispatch for fetch+slab+sign per pop, no HBM
+    # one-hot intermediate (kernels.fetch_slab; A/B knob)
+    use_fetch_kernel = (
+        kernels.fetch_slab_enabled() and "wide_rows_pad" in scene.arrays
+    )
+
     def outer_body(carry):
         m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state = carry
         regs2 = CLUSTER_PENDING_REGS >= 2
@@ -2218,9 +2224,16 @@ def _cluster_traverse(
                 17 + cur2,
                 jnp.where(act1, 17 + cur1 * 16 + k1, jnp.where(act0, 1 + k0, 0)),
             )
-            row = fetch_rows(row_idx)
-            bits = _slab16(row, origin, inv_dir, t_cur)
-            sign = _axis_sign(row, direction)
+            if use_fetch_kernel:
+                bits, sign_i = kernels.fetch_slab(
+                    scene.arrays["wide_rows_pad"], row_idx, origin,
+                    direction, t_cur,
+                )
+                sign = sign_i != 0
+            else:
+                row = fetch_rows(row_idx)
+                bits = _slab16(row, origin, inv_dir, t_cur)
+                sign = _axis_sign(row, direction)
             if regs2:
                 into_a = act1 & (m2 == 0)
                 into_b = act1 & (m2 != 0)
