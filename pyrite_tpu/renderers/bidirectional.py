@@ -44,6 +44,14 @@ from .simple import RenderProgress, chunk_order, chunk_rays, regen_enabled
 
 # cap on lanes*(L+1)*S to keep lamp-path arrays within memory
 _LANE_BUDGET = 48_000_000
+# byte cap on the regen-BDPT camera walk's stacked [n, R, K'] connection
+# trees (R rounds flush early when realized lamp lengths make K' large;
+# see _render_regen_bdpt)
+import os as _os
+
+_CONN_STACK_BUDGET = int(
+    _os.environ.get("PYRITE_TPU_CONN_STACK_BUDGET", str(1 << 30))
+)
 
 
 def _lamp_path_factors(scene: Scene, path, wavelengths, cfg: TraceConfig):
@@ -172,6 +180,18 @@ def _compact_connections(conn, k_new: int):
     }
 
 
+def _splat_shadow_cap(scene) -> int:
+    """Max lanes per splat shadow traversal. Cluster scenes bound the
+    flattened batch so one traversal keeps the tuned sweep width
+    (CLUSTER_LANE_CAP * COMPACT_DIV lanes -> width = CLUSTER_LANE_CAP);
+    dense scenes keep the single batched query."""
+    if not scene.use_clusters:
+        return 1 << 62
+    from ..tracer import CLUSTER_LANE_CAP, COMPACT_DIV
+
+    return CLUSTER_LANE_CAP * COMPACT_DIV
+
+
 def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_lanes=None):
     """Light-tracing splats (bidirectional.rs:253-306).
 
@@ -201,10 +221,36 @@ def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_la
     mask &= ok
     mask &= (jnp.abs(view_xy[:, 0]) < 1.0) & (jnp.abs(view_xy[:, 1]) < 1.0)
 
-    t_hit = intersect_shadow(
-        scene, world_origin, direction, cfg,
-        max_dist=distance, block_below=distance - DIST_EPSILON,
-    )
+    m = world_origin.shape[0]
+    cap = _splat_shadow_cap(scene)
+    if m <= cap:
+        t_hit = intersect_shadow(
+            scene, world_origin, direction, cfg,
+            max_dist=distance, block_below=distance - DIST_EPSILON,
+        )
+    else:
+        # deep lamp budgets on cluster scenes flatten to multi-million-lane
+        # batches (dragon: 32k pixels x 256 compacted slots = 8.4M); one
+        # traversal at that width allocates a multi-GB leaf-gather per
+        # sweep. lax.map compiles ONE cap-wide traversal and runs the
+        # chunks sequentially (inert padding lanes seed distance 0, so the
+        # root slab test rejects every subtree and they never park).
+        pad = (-m) % cap
+        padded = lambda x, v: jnp.concatenate(  # noqa: E731
+            [x, jnp.full((pad,) + x.shape[1:], v, x.dtype)]
+        )
+        o_c = padded(world_origin, 0.0).reshape(-1, cap, 3)
+        d_c = padded(direction, 1.0).reshape(-1, cap, 3)
+        dist_c = padded(distance, 0.0).reshape(-1, cap)
+
+        def one_chunk(args):
+            o, d, dist = args
+            return intersect_shadow(
+                scene, o, d, cfg,
+                max_dist=dist, block_below=dist - DIST_EPSILON,
+            )
+
+        t_hit = jax.lax.map(one_chunk, (o_c, d_c, dist_c)).reshape(-1)[:m]
     mask &= ~(jnp.isfinite(t_hit) & (t_hit < distance - DIST_EPSILON))
 
     scale = 1.0 / jnp.maximum(distance * distance, 1e-20)
@@ -227,6 +273,68 @@ def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_la
         acc, wt, view_xy, wl_rep, brightness, weights, mask[:, None] & cols
     )
     return acc, wt
+
+
+# slots per connection-query group: deep lamp budgets realize K' = 256
+# compacted slots, and one flattened [n*K'] shadow traversal plus its
+# [n, K', S] fold temps dominates the camera walk's memory (dragon-class:
+# 8.4M-lane queries pushed cam_step to a 20 GB compile OOM). Groups of G
+# slots run sequentially under lax.map: ONE compiled [n*G] query, bounded
+# transients, identical folded sums (the fold is a sum over slots).
+_CONN_GROUP_SLOTS = int(_os.environ.get("PYRITE_TPU_CONN_GROUP", "64"))
+
+
+def _connect_fold_grouped(
+    scene, cfg, info, new_state, position, normal, conn_ok, pp, aux_ok,
+    conn_vsum, conn_cnt,
+):
+    """Connection query + occlusion + fold over slot groups (see
+    _CONN_GROUP_SLOTS). Padded slots mirror ordinary non-connectable slots
+    (position 0, conn_ok False), so they fold to zero exactly."""
+    n, slots = conn_ok.shape
+    g = _CONN_GROUP_SLOTS
+
+    def run(pos_k, nor_k, ok_k, pp_k, aux_k, k):
+        query, pack = _conn_query(info, pos_k, nor_k, ok_k)
+        t_hit = intersect_shadow(
+            scene, query["origin"], query["direction"], cfg,
+            max_dist=query["max_dist"], block_below=query["block_below"],
+        )
+        blocked = _conn_blocked(t_hit, query, n, k)
+        return _conn_fold(
+            new_state, info, pack, blocked, pp_k, aux_k,
+            jnp.zeros_like(conn_vsum), jnp.zeros_like(conn_cnt),
+        )
+
+    if slots <= g:
+        vs, cn = run(position, normal, conn_ok, pp, aux_ok, slots)
+        return conn_vsum + vs, conn_cnt + cn
+
+    pad = (-slots) % g
+
+    def padk(x, v):
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[1] = (0, pad)
+        return jnp.pad(x, widths, constant_values=v)
+
+    ng = (slots + pad) // g
+
+    def grouped(x):
+        return jnp.moveaxis(x.reshape((n, ng, g) + x.shape[2:]), 1, 0)
+
+    vss, cns = jax.lax.map(
+        lambda a: run(a[0], a[1], a[2], a[3], a[4], g),
+        (
+            grouped(padk(position, 0.0)),
+            grouped(padk(normal, 0.0)),
+            grouped(padk(conn_ok, False)),
+            grouped(padk(pp, 0.0)),
+            grouped(padk(aux_ok, False)),
+        ),
+    )
+    return conn_vsum + vss.sum(axis=0), conn_cnt + cns.sum(axis=0)
 
 
 def _conn_query(info, conn_position, conn_normal, conn_ok):
@@ -394,14 +502,12 @@ def make_render_step(
             new_state, info = bounce_core(scene, cfg, wavelengths, state, bounce_key)
 
             if scene.num_lamps > 0:
-                query, pack = conn_pre(info)
-                t_hit = intersect_shadow(
-                    scene, query["origin"], query["direction"], cfg,
-                    max_dist=query["max_dist"],
-                    block_below=query["block_below"],
+                vsum, cnt = _connect_fold_grouped(
+                    scene, cfg, info, new_state,
+                    conn["position"], conn["normal"], conn["conn_ok"],
+                    pp, aux_ok, extras["conn_vsum"], extras["conn_cnt"],
                 )
-                blocked = _conn_blocked(t_hit, query, n, slots)
-                extras = conn_post(extras, new_state, info, pack, blocked)
+                extras = dict(extras, conn_vsum=vsum, conn_cnt=cnt)
 
             new_extras = dict(
                 extras,
@@ -855,20 +961,12 @@ def make_regen_bdpt_steps(
             )
             if scene.num_lamps > 0:
                 # connect_paths (bidirectional.rs:310-398): one flattened
-                # [n*K] shadow batch per bounce, identical math to the
-                # one-shot walk's scan_body
-                query, pack = _conn_query(
-                    info, cur["position"], cur["normal"], cur["conn_ok"]
-                )
-                t_hit = intersect_shadow(
-                    scene, query["origin"], query["direction"], cfg,
-                    max_dist=query["max_dist"],
-                    block_below=query["block_below"],
-                )
-                blocked = _conn_blocked(t_hit, query, n, slots)
-                conn_vsum, conn_cnt = _conn_fold(
-                    new_state, info, pack, blocked, cur["pp"], cur["aux_ok"],
-                    conn_vsum, conn_cnt,
+                # [n*K] shadow batch per bounce (slot-grouped when K is
+                # large), identical math to the one-shot walk's scan_body
+                conn_vsum, conn_cnt = _connect_fold_grouped(
+                    scene, cfg, info, new_state,
+                    cur["position"], cur["normal"], cur["conn_ok"],
+                    cur["pp"], cur["aux_ok"], conn_vsum, conn_cnt,
                 )
 
             len_cam = len_cam + info["recorded"].astype(jnp.int32)
@@ -1105,7 +1203,27 @@ def _render_regen_bdpt(
                 )
                 conn_r, wl_r = st["by_round"](conn, wl)
             else:
-                conns, wls = [], []
+                # stack rounds greedily under a device-memory budget: the
+                # stacked connection trees are [n, R, K', ...] and a deep
+                # lamp budget can realize K' = 256 (dragon: 32k pixels x
+                # 32 rounds x 256 slots x 10 lambda = 10.7 GB -> compile
+                # OOM). Each sub-stack runs its own camera walk; the film
+                # accumulates additively, and every sample still pairs
+                # with its own lamp round, so the estimator is unchanged.
+                conns, wls, stacked = [], [], 0
+                flushes = 0
+
+                def flush_stack(acc, wt, flushes):
+                    conn_r, wl_r = st["stack"](conns, wls)
+                    spp_part = jnp.full(pix, len(conns), jnp.int32)
+                    k_f = jax.random.fold_in(key, 5 + flushes)
+                    acc, wt, _, _ = st["cam"](
+                        acc, wt, k_f, data, conn_r, wl_r, ci * rows, spp_part
+                    )
+                    conns.clear()
+                    wls.clear()
+                    return acc, wt, flushes + 1
+
                 for r in range(take):
                     k_r = jax.random.fold_in(key, 1009 + r)
                     conn, wl, count = st["lamp"](k_r, data, jnp.int32(r))
@@ -1116,12 +1234,20 @@ def _render_regen_bdpt(
                         k_new = min(k_new, slots)
                         conn = st["compact"](conn, k_new)
                     acc, wt = st["splat"](acc, wt, conn, wl, data, ones)
+                    k_round = conn["conn_ok"].shape[1]
+                    cost = pix * k_round * (8 + cfg.spectrum_samples) * 4
+                    if conns and stacked + cost > _CONN_STACK_BUDGET:
+                        acc, wt, flushes = flush_stack(acc, wt, flushes)
+                        stacked = 0
                     conns.append(conn)
                     wls.append(wl)
-                conn_r, wl_r = st["stack"](conns, wls)
-            acc, wt, _, _ = st["cam"](
-                acc, wt, key, data, conn_r, wl_r, ci * rows, spp_lane
-            )
+                    stacked += cost
+                if conns:
+                    acc, wt, flushes = flush_stack(acc, wt, flushes)
+            if batched:
+                acc, wt, _, _ = st["cam"](
+                    acc, wt, key, data, conn_r, wl_r, ci * rows, spp_lane
+                )
         done += take
         if on_progress is not None:
             on_progress(RenderProgress(sample=done, total=total, acc=acc, wt=wt, film=film))
@@ -1137,7 +1263,14 @@ def pick_rows_per_chunk(
     if scene is not None and scene.use_clusters:
         from ..tracer import CLUSTER_LANE_CAP
 
-        budget_lanes = min(budget_lanes, CLUSTER_LANE_CAP)
+        cap = CLUSTER_LANE_CAP
+        if light_bounces + 1 > 16:
+            # deep lamp budgets carry [n, K'] connection trees through the
+            # camera walk and stack [n, R, K'] rounds; at K' = 256 a 32k
+            # wavefront measured 17 GB of HBM at compile (dragon-class).
+            # Half the wavefront keeps the walk inside memory.
+            cap //= 2
+        budget_lanes = min(budget_lanes, cap)
     elif scene is not None and scene.num_primitives > 128:
         budget = 3_000_000_000
         per_lane = max(scene.num_primitives, 1) * max(bounces, 1) * (

@@ -568,11 +568,16 @@ def _render_regen(
     rem = np.broadcast_to(np.repeat(v, pix), (chunks, n)).copy()
     rate = [None] * chunks
     rnd = 0
+    # ramp the per-launch quota up to spp_chunk: the first small rounds
+    # warm the per-lane completion rates AND land a preview within seconds
+    # (a full-size first launch would delay the first progress callback by
+    # the whole chunk)
+    cur_chunk = max(4, spp_chunk // 8)
     while rem.any():
         for ci in order:
             if not rem[ci].any():
                 continue
-            quota = adaptive_quotas(rem[ci], rate[ci], spp_chunk)
+            quota = adaptive_quotas(rem[ci], rate[ci], cur_chunk)
             # soft tail: the launch may leave up to 1% of lanes short, but
             # must complete at least one quota-bound lane so the host loop
             # always progresses
@@ -598,6 +603,7 @@ def _render_regen(
             fresh = np.maximum(dn_h.astype(np.float32), 0.25) / iters
             rate[ci] = fresh if rate[ci] is None else 0.5 * (rate[ci] + fresh)
         rnd += 1
+        cur_chunk = min(spp_chunk, cur_chunk * 2)
         if on_progress is not None:
             done_min = total - int(
                 np.max(rem.reshape(chunks, planes, pix).sum(axis=1))
@@ -1139,12 +1145,13 @@ def _render_regen_sharded(
         rem[:, d, :] = np.repeat(v, pix)[None]
     rate = [[None] * n_dev for _ in range(chunks)]
     rnd = 0
+    cur_chunk = max(4, lane_chunk // 8)  # ramp-up as in _render_regen
     while rem.any():
         for ci in order:
             if not rem[ci].any():
                 continue
             quota = np.stack([
-                adaptive_quotas(rem[ci, d], rate[ci][d], lane_chunk)
+                adaptive_quotas(rem[ci, d], rate[ci][d], cur_chunk)
                 for d in range(n_dev)
             ])
             tails = np.zeros(n_dev, np.int32)
@@ -1168,6 +1175,7 @@ def _render_regen_sharded(
                     fresh if rate[ci][d] is None else 0.5 * (rate[ci][d] + fresh)
                 )
         rnd += 1
+        cur_chunk = min(lane_chunk, cur_chunk * 2)
         if on_progress is not None:
             worst = int(
                 np.max(rem.reshape(chunks, n_dev * planes, pix).sum(axis=1))

@@ -2015,6 +2015,16 @@ CLUSTER_ONEHOT_ROWS = int(_os.environ.get("PYRITE_TPU_ONEHOT_ROWS", "1"))
 # series3: 1.21x alone, 1.73x stacked with one-hot rows at 0.971 Mrays/s)
 CLUSTER_PACK_STATE = int(_os.environ.get("PYRITE_TPU_PACK_STATE", "1"))
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
+# sweep-width ceiling via the leaf-geometry gather's transient footprint:
+# a sweep gathers [width, SWEEP_LEAVES * leaf, 12] f32, and callers can
+# flatten VERY wide batches through one traversal (a dragon-class BDPT
+# splat/connection query is 32k pixels x 256 lamp slots = 8.4M lanes;
+# width = n/8 then allocates a 38 GB gather and the compile OOMs). The
+# cap bounds the gather to ~1.5 GB; excess parked lanes wait, exactly
+# like lanes beyond the width did already.
+SWEEP_GATHER_BUDGET = int(
+    _os.environ.get("PYRITE_TPU_SWEEP_GATHER_BUDGET", str(3 * 2**29))
+)
 
 
 def _lowbit_index(m):
@@ -2105,7 +2115,11 @@ def _cluster_traverse(
 
     use_pallas = kernels.walk_enabled() and "wide_rows_pad" in scene.arrays
 
-    width = n // COMPACT_DIV
+    width_cap = max(
+        COMPACT_MIN,
+        SWEEP_GATHER_BUDGET // (SWEEP_LEAVES * scene.cluster_leaf * 48),
+    )
+    width = min(n // COMPACT_DIV, width_cap)
     compact = n >= COMPACT_MIN and width > 0
 
     if CLUSTER_ONEHOT_ROWS:

@@ -761,3 +761,68 @@ def test_regen_bdpt_matches_one_shot(tmp_path, monkeypatch):
     rel = np.abs(img_r - img_o)[lit] / img_o[lit]
     assert np.median(rel) < 0.2, f"median rel {np.median(rel):.3f}"
     np.testing.assert_allclose(img_r[lit].mean(), img_o[lit].mean(), rtol=0.06)
+
+
+def test_regen_bdpt_substack_flush_matches(tmp_path, monkeypatch):
+    """The regen-BDPT driver stacks per-round connection trees under a byte
+    budget (deep lamp budgets can realize K' = 256 compacted slots: dragon's
+    stacked trees reach 10.7 GB and the compile OOMs), flushing a camera
+    walk per sub-stack. Flushing must leave the estimator unchanged: exact
+    sample counts, splats identical, radiance within noise of the unflushed
+    driver (only the per-sub-stack camera jitter keys differ)."""
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    src = SCENE % {
+        "algo": "bidirectional", "spp": 24,
+        "extra": ", light_bounces = 20",
+    }
+    src = src.replace("bounces = 4", "bounces = 20")
+    path = tmp_path / "substack.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert pd.project.renderer.bounces >= bdpt_mod.REGEN_BDPT_MIN_BOUNCES
+    assert pd.project.renderer.light_bounces + 1 > 16  # compacting path
+
+    film, acc_a, wt_a = bdpt_mod.render(pd, scene, seed=3, max_samples=24)
+    monkeypatch.setattr(bdpt_mod, "_CONN_STACK_BUDGET", 1)  # flush per round
+    film, acc_b, wt_b = bdpt_mod.render(pd, scene, seed=3, max_samples=24)
+
+    tw_a = float(np.asarray(wt_a).sum())
+    tw_b = float(np.asarray(wt_b).sum())
+    np.testing.assert_allclose(tw_a, tw_b, rtol=0.03)
+
+    img_a = np.asarray(film.develop(acc_a, wt_a)).mean(axis=2)
+    img_b = np.asarray(film.develop(acc_b, wt_b)).mean(axis=2)
+    lit = img_a > 0.02
+    rel = np.abs(img_b - img_a)[lit] / img_a[lit]
+    assert np.median(rel) < 0.2, f"median rel {np.median(rel):.3f}"
+    np.testing.assert_allclose(img_b[lit].mean(), img_a[lit].mean(), rtol=0.06)
+
+
+def test_bdpt_grouped_connections_match_flat(tmp_path, monkeypatch):
+    """Slot-grouped connection folding (_connect_fold_grouped with K' >
+    _CONN_GROUP_SLOTS) must reproduce the single flat query: the RNG
+    streams are identical (grouping changes no draws), so the films agree
+    to float tolerance (the fold reassociates sums across groups)."""
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    src = SCENE % {
+        "algo": "bidirectional", "spp": 8,
+        "extra": ", light_bounces = 20",
+    }
+    path = tmp_path / "grouped.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+
+    film, acc_a, wt_a = bdpt_mod.render(pd, scene, seed=6, max_samples=8)
+    monkeypatch.setattr(bdpt_mod, "_CONN_GROUP_SLOTS", 4)
+    film, acc_b, wt_b = bdpt_mod.render(pd, scene, seed=6, max_samples=8)
+
+    np.testing.assert_allclose(
+        np.asarray(acc_b), np.asarray(acc_a), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(wt_b), np.asarray(wt_a), rtol=2e-4, atol=1e-5
+    )

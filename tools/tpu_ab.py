@@ -65,8 +65,10 @@ def main():
         rate = bench.bench_render_spp(f"{REF}/cornell/cornell.lua", samples=arg(2, 4))
         print(f"cornell {rate:.4f} spp/s")
     elif case == "snowflake":
+        # >= 3 progress reports needed for a rate (the regen-BDPT scheduler
+        # reports once per multi-sample launch; 4 spp fit in one -> nan)
         rate = bench.bench_render_spp(
-            f"{REF}/snowflake/snowflake.lua", samples=arg(2, 4)
+            f"{REF}/snowflake/snowflake.lua", samples=arg(2, 12)
         )
         print(f"snowflake {rate:.4f} spp/s")
     elif case == "diamonds":
