@@ -430,19 +430,6 @@ def main():
         extras.append({"metric": "terrain Mrays/sec", "error": repr(error)})
 
     try:
-        dragon_spp, dragon_tris = bench_dragon_bdpt()
-        extras.append(
-            {
-                "metric": f"sampling rate, synthetic dragon-class {dragon_tris} tris "
-                "bidirectional (20/256 bounces)",
-                "value": round(dragon_spp, 4),
-                "unit": "spp/sec",
-            }
-        )
-    except Exception as error:
-        extras.append({"metric": "dragon-class bdpt spp/sec", "error": repr(error)})
-
-    try:
         ttn = bench_time_to_noise(spheres)
         extras.append(
             {
@@ -454,6 +441,32 @@ def main():
         )
     except Exception as error:
         extras.append({"metric": "time-to-noise seconds", "error": repr(error)})
+
+    # dragon runs LAST and in a SUBPROCESS: the 20/256-bounce stacked camera
+    # walk is the heaviest launch in the suite and historically could crash
+    # the TPU worker — a subprocess bounds the blast radius (crash or hang
+    # cannot lose the already-measured entries) and the ordering means a
+    # wedged device costs only this entry.
+    try:
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, __file__, "--dragon-only"],
+            capture_output=True, text=True, timeout=2400,
+        )
+        line = next(
+            (l for l in reversed(out.stdout.splitlines()) if l.startswith("{")),
+            None,
+        )
+        if out.returncode != 0 or line is None:
+            raise RuntimeError(
+                f"rc={out.returncode} tail={out.stdout[-300:]!r} "
+                f"err={out.stderr[-300:]!r}"
+            )
+        extras.append(json.loads(line))
+    except Exception as error:
+        extras.append({"metric": "dragon-class bdpt spp/sec", "error": repr(error)})
 
     print(
         json.dumps(
@@ -469,5 +482,24 @@ def main():
     )
 
 
+def dragon_only():
+    dragon_spp, dragon_tris = bench_dragon_bdpt()
+    print(
+        json.dumps(
+            {
+                "metric": f"sampling rate, synthetic dragon-class {dragon_tris} "
+                "tris bidirectional (20/256 bounces)",
+                "value": round(dragon_spp, 4),
+                "unit": "spp/sec",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--dragon-only" in _sys.argv:
+        dragon_only()
+    else:
+        main()

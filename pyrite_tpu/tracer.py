@@ -2008,6 +2008,12 @@ CLUSTER_PENDING_REGS = int(_os.environ.get("PYRITE_TPU_PENDING_REGS", "2"))
 # at 32k lanes; the [N, rows] @ [rows, 128] matmul beats it (terrain A/B
 # series3: 0.814 vs 0.562 Mrays/s live, 1.45x)
 CLUSTER_ONEHOT_ROWS = int(_os.environ.get("PYRITE_TPU_ONEHOT_ROWS", "1"))
+# one-hot fetch width ceiling: the [N, rows] one-hot round-trips HBM, so it
+# only wins at wavefront widths (terrain A/B: wins at 32k, loses at 131k),
+# and a megawide flattened batch (BDPT connection/splat queries reach
+# n*slots = 1M-8M lanes) would allocate a [N, 273] f32 sheet per pop
+# (1-9 GB). Above the cap the walk falls back to the dynamic row-gather.
+CLUSTER_ONEHOT_MAX = int(_os.environ.get("PYRITE_TPU_ONEHOT_MAX", "65536"))
 # carry the query state through the XLA walk as ONE packed [n, S] f32 sheet
 # so each compaction round moves 1 gather + 1 scatter instead of ~2 ops per
 # state leaf (each [32k]-lane gather/scatter costs ~fixed dispatch time on
@@ -2122,7 +2128,7 @@ def _cluster_traverse(
     width = min(n // COMPACT_DIV, width_cap)
     compact = n >= COMPACT_MIN and width > 0
 
-    if CLUSTER_ONEHOT_ROWS:
+    if CLUSTER_ONEHOT_ROWS and n <= CLUSTER_ONEHOT_MAX:
         # Node-row fetch as a one-hot MXU matmul instead of a dynamic
         # row-gather. Sentinel +-inf box planes are clamped to +-1e30 first
         # (0 * inf = NaN would poison every fetched row); an inverted 1e30

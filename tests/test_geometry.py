@@ -282,6 +282,23 @@ def test_python_clustered_build_matches_brute_force():
     finally:
         tracer.COMPACT_MIN = old_min
 
+    # the one-hot MXU row fetch is width-gated (CLUSTER_ONEHOT_MAX): above
+    # the cap the walk falls back to the dynamic row-gather. Pin both fetch
+    # paths to the same hits (gate forced to 0 => every width uses gather).
+    old_max = tracer.CLUSTER_ONEHOT_MAX
+    try:
+        tracer.CLUSTER_ONEHOT_MAX = 0
+        out_g = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs), init,
+            tracer._cluster_leaf_closest(scene),
+        )
+        np.testing.assert_allclose(np.asarray(out_g["t"]), best_t, rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(out_g["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
+        )
+    finally:
+        tracer.CLUSTER_ONEHOT_MAX = old_max
+
 
 def test_pallas_walk_matches_xla_walk():
     """The fused Pallas walk kernel (interpret mode on CPU) must produce
