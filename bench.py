@@ -345,20 +345,30 @@ def bench_terrain(steps=3):
     return bench_simple(lua, steps=steps)[0], tris
 
 
-def bench_dragon_bdpt(samples=96):
+def bench_dragon_bdpt(samples=6):
     """Steady-state spp/s of the dragon workload class: 871k-triangle mesh,
     BDPT with bounces 20 / light_bounces 256 (the reference's dragon.lua
     configuration over the synthetic heightfield — the real OBJ is a
-    stripped blob). Exercises the two-phase compacted-connection BDPT path
-    and the wide-BVH cluster traversal together."""
+    stripped blob). Exercises the two-phase compacted-connection BDPT path,
+    the staged camera walk, and the wide-BVH cluster traversal together.
+
+    Each camera bounce folds ~K'=256 lamp connections per lane (~4M shadow
+    rays per regen iteration), so samples are minutes each: the launch
+    chunk is dropped to 2 spp so the rate resolves from 3 progress reports
+    inside the bench's subprocess timeout."""
     import tempfile
 
     import sys
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from tools.synthetic import dragon_scene
+    from pyrite_tpu.renderers import bidirectional as B
 
     lua, tris = dragon_scene(tempfile.mkdtemp(), cells=660)
-    return bench_render_spp(lua, samples=samples, warm=1), tris
+    B.REGEN_BDPT_SPP_CHUNK = 2
+    try:
+        return bench_render_spp(lua, samples=samples, warm=1), tris
+    finally:
+        B.REGEN_BDPT_SPP_CHUNK = 32
 
 
 def main():

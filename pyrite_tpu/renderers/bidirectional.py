@@ -282,6 +282,15 @@ def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_la
 # slots run sequentially under lax.map: ONE compiled [n*G] query, bounded
 # transients, identical folded sums (the fold is a sum over slots).
 _CONN_GROUP_SLOTS = int(_os.environ.get("PYRITE_TPU_CONN_GROUP", "64"))
+# run slot groups as an unrolled Python loop instead of lax.map: the map
+# nests a scan around the cluster walk's while/fori inside the camera
+# while_loop, one control-flow level deeper than anything else we dispatch
+# on axon (crash A/B knob for the dragon-class stacked camera walk)
+_CONN_UNROLL = int(_os.environ.get("PYRITE_TPU_CONN_UNROLL", "0"))
+# crash-bisect knob: skip the connection fold inside the camera walk
+# entirely (WRONG IMAGE — isolates whether the grouped connection shadow
+# walks inside the regen while-loop are what kills the TPU worker)
+_BDPT_NOCONN = int(_os.environ.get("PYRITE_TPU_BDPT_NOCONN", "0"))
 
 
 def _connect_fold_grouped(
@@ -292,7 +301,12 @@ def _connect_fold_grouped(
     _CONN_GROUP_SLOTS). Padded slots mirror ordinary non-connectable slots
     (position 0, conn_ok False), so they fold to zero exactly."""
     n, slots = conn_ok.shape
-    g = _CONN_GROUP_SLOTS
+    # bound the flattened [n*g] shadow traversal to the splat path's cap
+    # (CLUSTER_LANE_CAP * COMPACT_DIV): an unbounded group at dragon widths
+    # (16k lanes x 64 slots = 1M) walks the BVH 4x over the tuned sweep
+    # width and allocates multi-GB per-pop intermediates — the dragon-class
+    # stacked camera walk crashed the TPU worker before this cap.
+    g = min(_CONN_GROUP_SLOTS, max(1, _splat_shadow_cap(scene) // n))
 
     def run(pos_k, nor_k, ok_k, pp_k, aux_k, k):
         query, pack = _conn_query(info, pos_k, nor_k, ok_k)
@@ -324,16 +338,20 @@ def _connect_fold_grouped(
     def grouped(x):
         return jnp.moveaxis(x.reshape((n, ng, g) + x.shape[2:]), 1, 0)
 
-    vss, cns = jax.lax.map(
-        lambda a: run(a[0], a[1], a[2], a[3], a[4], g),
-        (
-            grouped(padk(position, 0.0)),
-            grouped(padk(normal, 0.0)),
-            grouped(padk(conn_ok, False)),
-            grouped(padk(pp, 0.0)),
-            grouped(padk(aux_ok, False)),
-        ),
+    args = (
+        grouped(padk(position, 0.0)),
+        grouped(padk(normal, 0.0)),
+        grouped(padk(conn_ok, False)),
+        grouped(padk(pp, 0.0)),
+        grouped(padk(aux_ok, False)),
     )
+    if _CONN_UNROLL:
+        for gi in range(ng):
+            vs, cn = run(*(a[gi] for a in args), g)
+            conn_vsum = conn_vsum + vs
+            conn_cnt = conn_cnt + cn
+        return conn_vsum, conn_cnt
+    vss, cns = jax.lax.map(lambda a: run(a[0], a[1], a[2], a[3], a[4], g), args)
     return conn_vsum + vss.sum(axis=0), conn_cnt + cns.sum(axis=0)
 
 
@@ -685,6 +703,57 @@ def _accumulate_lane_sums(film: Film, acc_l, wt_l, wavelengths, value_sums, weig
     return acc_l + da, wt_l + dw
 
 
+# iteration cap per staged camera-walk launch on cluster scenes. The
+# one-shot cam_step runs (R+1)*bounces regen iterations in ONE device
+# launch, and on cluster scenes every iteration dispatches an extension
+# cluster walk plus ~K'/G grouped connection shadow walks — at dragon scale
+# (16k lanes, K'=257, 20 camera bounces, 3 stacked rounds) that is a
+# multi-minute single launch, which crashes the axon TPU worker (the same
+# watchdog class pick_rows sizes ordinary launches under). Staged launches
+# run at most this many regen iterations each, carrying the loop state to
+# the host between launches; the fold_in streams key on the global
+# iteration counter, so staging is bitwise-identical to the one-shot walk.
+_CAM_ITER_CAP = int(_os.environ.get("PYRITE_TPU_BDPT_CAM_CAP", "6"))
+
+
+def _cam_zero_carry(n, slots, s, bins, wl0):
+    """Zero loop state for the regen camera walk: every lane starts dead
+    with done=0, so the first body iteration regenerates it from round 0."""
+    state = {
+        "origin": jnp.zeros((n, 3)),
+        "direction": jnp.zeros((n, 3)).at[:, 2].set(1.0),
+        "brightness": jnp.zeros((n, s)),
+        "reflectance": jnp.ones((n, s)),
+        "alive": jnp.zeros(n, bool),
+        "aux_alive": jnp.ones(n, bool),
+        "sample_light": jnp.ones(n, bool),
+        "light_events": jnp.zeros(n, jnp.int32),
+    }
+    cur0 = {
+        "position": jnp.zeros((n, slots, 3)),
+        "normal": jnp.zeros((n, slots, 3)),
+        "pp": jnp.zeros((n, slots, s)),
+        "aux_ok": jnp.zeros((n, slots), bool),
+        "conn_ok": jnp.zeros((n, slots), bool),
+        "wl": jnp.full((n, s), wl0),
+        "len_lamp": jnp.ones(n, jnp.int32),
+    }
+    return {
+        "i": jnp.int32(0),
+        "state": state,
+        "cur": cur0,
+        "acc_l": jnp.zeros((n, bins)),
+        "wt_l": jnp.zeros((n, bins)),
+        "done": jnp.zeros(n, jnp.int32),
+        "pend": jnp.zeros(n, bool),
+        "plen": jnp.zeros(n, jnp.int32),
+        "conn_vsum": jnp.zeros((n, s)),
+        "conn_cnt": jnp.zeros((n, s)),
+        "len_cam": jnp.zeros(n, jnp.int32),
+        "live": jnp.float32(0.0),
+    }
+
+
 def make_regen_bdpt_steps(
     scene: Scene,
     film: Film,
@@ -802,6 +871,11 @@ def make_regen_bdpt_steps(
         [n, R, K'] trees (+ wavelengths [n, R, S]). Padded slots are masked
         inert (conn_ok False); splat fields are dropped (already exposed)."""
         k_max = max(c["conn_ok"].shape[1] for c in conns)
+        if k_max > (light_bounces + 1) * 3 // 4:
+            # near-full stacks pad to full capacity so every deep flush
+            # shares ONE compiled cam variant (256- vs 257-slot stacks would
+            # otherwise each compile a multi-minute camera walk)
+            k_max = light_bounces + 1
 
         def pad(x):
             if x.ndim < 2 or x.shape[1] == k_max:
@@ -820,9 +894,18 @@ def make_regen_bdpt_steps(
                 stacked[f] = jnp.stack([pad(c[f]) for c in conns], axis=1)
         return stacked, jnp.stack(wls, axis=1)
 
-    def cam_step(acc, wt, key, data, conn_r, wl_r, row0, spp_lane):
+    def cam_step(
+        acc, wt, key, data, conn_r, wl_r, row0, spp_lane,
+        carry_in=None, mode="full",
+    ):
       """``conn_r``: stacked [n, R, K'] connection trees (stack_rounds);
-      ``wl_r``: [n, R, S] per-round wavelengths."""
+      ``wl_r``: [n, R, S] per-round wavelengths.
+
+      ``mode`` (trace-time static): "full" runs the whole regen walk in one
+      launch; "iter" resumes from ``carry_in`` for at most _CAM_ITER_CAP
+      iterations and returns (carry, more) so the host can bound launch
+      length (cluster scenes — see _CAM_ITER_CAP); "finish" drains
+      ``carry_in`` into the film."""
       with scene.bind(data):
         slots = conn_r["conn_ok"].shape[2]
         k_gen = jax.random.fold_in(key, 7919)
@@ -848,39 +931,8 @@ def make_regen_bdpt_steps(
             positions = film.pixel_to_view(pxf, pyf)
             return camera.ray_towards(positions, u[:, 2], u[:, 3])
 
-        state = {
-            "origin": jnp.zeros((n, 3)),
-            "direction": jnp.zeros((n, 3)).at[:, 2].set(1.0),
-            "brightness": jnp.zeros((n, s)),
-            "reflectance": jnp.ones((n, s)),
-            "alive": jnp.zeros(n, bool),
-            "aux_alive": jnp.ones(n, bool),
-            "sample_light": jnp.ones(n, bool),
-            "light_events": jnp.zeros(n, jnp.int32),
-        }
-        cur0 = {
-            "position": jnp.zeros((n, slots, 3)),
-            "normal": jnp.zeros((n, slots, 3)),
-            "pp": jnp.zeros((n, slots, s)),
-            "aux_ok": jnp.zeros((n, slots), bool),
-            "conn_ok": jnp.zeros((n, slots), bool),
-            "wl": jnp.full((n, s), film.span[0]),
-            "len_lamp": jnp.ones(n, jnp.int32),
-        }
-        carry = {
-            "i": jnp.int32(0),
-            "state": state,
-            "cur": cur0,
-            "acc_l": jnp.zeros((n, film.bins)),
-            "wt_l": jnp.zeros((n, film.bins)),
-            "done": jnp.zeros(n, jnp.int32),
-            "pend": jnp.zeros(n, bool),
-            "plen": jnp.zeros(n, jnp.int32),
-            "conn_vsum": jnp.zeros((n, s)),
-            "conn_cnt": jnp.zeros((n, s)),
-            "len_cam": jnp.zeros(n, jnp.int32),
-            "live": jnp.float32(0.0),
-        }
+        carry = _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+        state, cur0 = carry["state"], carry["cur"]
         max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
 
         def expose_complete(c, st):
@@ -959,7 +1011,7 @@ def make_regen_bdpt_steps(
             new_state, info = bounce_core(
                 scene, cfg, cur["wl"], st, jax.random.fold_in(k_tr, c["i"])
             )
-            if scene.num_lamps > 0:
+            if scene.num_lamps > 0 and not _BDPT_NOCONN:
                 # connect_paths (bidirectional.rs:310-398): one flattened
                 # [n*K] shadow batch per bounce (slot-grouped when K is
                 # large), identical math to the one-shot walk's scan_body
@@ -1081,7 +1133,20 @@ def make_regen_bdpt_steps(
                 "live": live,
             }
 
-        if scene.use_clusters and merged_traversal_enabled():
+        if mode == "iter":
+            # staged launch: resume the plain (non-deferred) regen loop from
+            # carry_in, bounded to _CAM_ITER_CAP iterations; identical
+            # fold_in streams (they key on the global counter carry["i"])
+            i0 = carry_in["i"]
+            c = jax.lax.while_loop(
+                lambda c: cond(c) & (c["i"] - i0 < _CAM_ITER_CAP),
+                body,
+                carry_in,
+            )
+            return c, cond(c)
+        if mode == "finish":
+            c = carry_in
+        elif scene.use_clusters and merged_traversal_enabled():
             # pre-loop regeneration (round 0 + fresh rays) so the first
             # shade has a hit to consume
             has = spp_lane > 0
@@ -1143,6 +1208,30 @@ def make_regen_bdpt_steps(
         executed = c["i"].astype(jnp.float32) * n
         return acc, wt, c["live"], executed
 
+    def cam_full(acc, wt, key, data, conn_r, wl_r, row0, spp_lane):
+        """Array-only signature for jit (mode/carry_in stay trace-time
+        Python values — a string kwarg would otherwise reach the tracer)."""
+        return cam_step(acc, wt, key, data, conn_r, wl_r, row0, spp_lane)
+
+    def cam_iter(key, data, conn_r, wl_r, row0, spp_lane, carry):
+        """One staged camera-walk launch (<= _CAM_ITER_CAP regen iterations
+        from ``carry``). Returns (carry', more)."""
+        return cam_step(
+            None, None, key, data, conn_r, wl_r, row0, spp_lane,
+            carry_in=carry, mode="iter",
+        )
+
+    def cam_finish(acc, wt, key, data, conn_r, wl_r, row0, spp_lane, carry):
+        """Drain a staged walk's final carry into the film."""
+        return cam_step(
+            acc, wt, key, data, conn_r, wl_r, row0, spp_lane,
+            carry_in=carry, mode="finish",
+        )
+
+    def carry0(slots):
+        """Host-side zero carry for the staged walk (slots = conn_r K')."""
+        return _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+
     if not jit:
         return {
             "lamp": lamp_step,
@@ -1152,6 +1241,9 @@ def make_regen_bdpt_steps(
             "splat": splat_step,
             "stack": stack_rounds,
             "cam": cam_step,
+            "cam_iter": cam_iter,
+            "cam_finish": cam_finish,
+            "carry0": carry0,
         }
     return {
         "lamp": jax.jit(lamp_step),
@@ -1160,7 +1252,10 @@ def make_regen_bdpt_steps(
         "compact": jax.jit(compact_step, static_argnums=(1,)),
         "splat": jax.jit(splat_step, donate_argnums=(0, 1)),
         "stack": stack_rounds,  # host-side pad + stack of jitted outputs
-        "cam": jax.jit(cam_step, donate_argnums=(0, 1)),
+        "cam": jax.jit(cam_full, donate_argnums=(0, 1)),
+        "cam_iter": jax.jit(cam_iter, donate_argnums=(6,)),
+        "cam_finish": jax.jit(cam_finish, donate_argnums=(0, 1)),
+        "carry0": carry0,
     }
 
 
@@ -1177,10 +1272,39 @@ def _render_regen_bdpt(
     pix = rows * film.width
     slots = light_bounces + 1
     compacting = slots > 16
+    # staged camera walks (bounded launches) on cluster scenes only: dense
+    # scenes' regen iterations cost ~ms each, so the per-launch host sync
+    # would dominate; the deferred (merged-traversal) body is not staged
+    staged = (
+        _CAM_ITER_CAP > 0
+        and scene.use_clusters
+        and not merged_traversal_enabled()
+    )
     base_key = jax.random.PRNGKey(seed)
     order = chunk_order(chunks)
     ones = jnp.ones(pix, jnp.float32)
     steps_for = {}
+
+    def run_cam(st, acc, wt, k_f, conn_r, wl_r, row0, spp_arr):
+        """One chunk's camera walk: staged (bounded launches with host-side
+        carry) on cluster scenes, one launch otherwise."""
+        if staged:
+            carry = st["carry0"](conn_r["conn_ok"].shape[2])
+            while True:
+                carry, more = st["cam_iter"](
+                    k_f, data, conn_r, wl_r, row0, spp_arr, carry
+                )
+                if not bool(more):
+                    break
+            acc, wt, _, _ = st["cam_finish"](
+                acc, wt, k_f, data, conn_r, wl_r, row0, spp_arr, carry
+            )
+        else:
+            acc, wt, _, _ = st["cam"](
+                acc, wt, k_f, data, conn_r, wl_r, row0, spp_arr
+            )
+        return acc, wt
+
     done = start_sample
     while done < total:
         take = min(REGEN_BDPT_SPP_CHUNK, total - done)
@@ -1214,11 +1338,15 @@ def _render_regen_bdpt(
                 flushes = 0
 
                 def flush_stack(acc, wt, flushes):
+                    # staged on cluster scenes (run_cam): one unbounded cam
+                    # launch at dragon scale runs minutes of grouped cluster
+                    # shadow walks and crashes the TPU worker; the staged
+                    # walk is bitwise-identical to the one-shot walk
                     conn_r, wl_r = st["stack"](conns, wls)
                     spp_part = jnp.full(pix, len(conns), jnp.int32)
                     k_f = jax.random.fold_in(key, 5 + flushes)
-                    acc, wt, _, _ = st["cam"](
-                        acc, wt, k_f, data, conn_r, wl_r, ci * rows, spp_part
+                    acc, wt = run_cam(
+                        st, acc, wt, k_f, conn_r, wl_r, ci * rows, spp_part
                     )
                     conns.clear()
                     wls.clear()
@@ -1245,8 +1373,8 @@ def _render_regen_bdpt(
                 if conns:
                     acc, wt, flushes = flush_stack(acc, wt, flushes)
             if batched:
-                acc, wt, _, _ = st["cam"](
-                    acc, wt, key, data, conn_r, wl_r, ci * rows, spp_lane
+                acc, wt = run_cam(
+                    st, acc, wt, key, conn_r, wl_r, ci * rows, spp_lane
                 )
         done += take
         if on_progress is not None:

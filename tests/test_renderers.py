@@ -826,3 +826,58 @@ def test_bdpt_grouped_connections_match_flat(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(wt_b), np.asarray(wt_a), rtol=2e-4, atol=1e-5
     )
+
+    # the unrolled group loop (PYRITE_TPU_CONN_UNROLL: Python loop instead
+    # of lax.map — the dragon-crash A/B knob) is the same math
+    monkeypatch.setattr(bdpt_mod, "_CONN_UNROLL", 1)
+    film, acc_c, wt_c = bdpt_mod.render(pd, scene, seed=6, max_samples=8)
+    np.testing.assert_allclose(
+        np.asarray(acc_c), np.asarray(acc_b), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(wt_c), np.asarray(wt_b), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_staged_cam_walk_matches_one_shot(tmp_path, monkeypatch):
+    """Cluster-scene regen-BDPT camera walks run STAGED (bounded launches
+    with host-side carry — one unbounded launch at dragon scale runs
+    minutes of grouped cluster shadow walks and crashes the TPU worker).
+    The fold_in streams key on the global iteration counter carried across
+    launches, so staging must reproduce the one-shot walk to float
+    tolerance (only XLA program boundaries differ)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    lua, _ = terrain_scene(
+        str(tmp_path), cells=24, width=16, height=8, spp=4, bounces=20
+    )
+    src = open(lua).read().replace(
+        "renderer.simple", "renderer.bidirectional"
+    ).replace(
+        "light_samples = 1,",
+        "light_samples = 1,\n        light_bounces = 3,",
+    )
+    path = tmp_path / "terrain_bdpt_staged.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert scene.use_clusters
+    assert pd.project.renderer.bounces >= bdpt_mod.REGEN_BDPT_MIN_BOUNCES
+
+    monkeypatch.setattr(bdpt_mod, "_CAM_ITER_CAP", 0)  # one-shot
+    film, acc_o, wt_o = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+
+    monkeypatch.setattr(bdpt_mod, "_CAM_ITER_CAP", 3)  # staged, tiny cap
+    film, acc_s, wt_s = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+
+    np.testing.assert_allclose(
+        np.asarray(wt_s), np.asarray(wt_o), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_s), np.asarray(acc_o), rtol=1e-5, atol=1e-7
+    )

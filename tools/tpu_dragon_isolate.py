@@ -79,7 +79,24 @@ def main():
     if last == "cam" and conns:
         conn_r, wl_r = st["stack"](conns, wls)
         spp = jnp.full(pix, len(conns), jnp.int32)
-        acc, wt, _, _ = st["cam"](acc, wt, key, data, conn_r, wl_r, 0, spp)
+        if B._CAM_ITER_CAP > 0 and scene.use_clusters:
+            carry = st["carry0"](conn_r["conn_ok"].shape[2])
+            launches = 0
+            while True:
+                carry, more = st["cam_iter"](key, data, conn_r, wl_r, 0, spp, carry)
+                m = bool(more)
+                launches += 1
+                print(
+                    f"cam_iter[{launches}] ok i={int(carry['i'])} more={m} "
+                    f"t={time.time()-t0:.1f}s", flush=True,
+                )
+                if not m:
+                    break
+            acc, wt, _, _ = st["cam_finish"](
+                acc, wt, key, data, conn_r, wl_r, 0, spp, carry
+            )
+        else:
+            acc, wt, _, _ = st["cam"](acc, wt, key, data, conn_r, wl_r, 0, spp)
         print(f"cam ok acc={float(acc.sum()):.3f} t={time.time()-t0:.1f}s", flush=True)
     print("ALL OK", flush=True)
 
