@@ -291,6 +291,15 @@ _CONN_UNROLL = int(_os.environ.get("PYRITE_TPU_CONN_UNROLL", "0"))
 # entirely (WRONG IMAGE — isolates whether the grouped connection shadow
 # walks inside the regen while-loop are what kills the TPU worker)
 _BDPT_NOCONN = int(_os.environ.get("PYRITE_TPU_BDPT_NOCONN", "0"))
+# deferred connections (cluster regen walks): instead of folding every lamp
+# slot against every lane at EVERY regen iteration (iters x n x K' shadow
+# rays, all dispatched inside the while-loop), the walk only RECORDS its
+# diffuse vertices ([n, R, V] ring buffers in the carry) and the finish
+# step runs all connection batches top-level over the compacted vertex
+# list — the proven-safe splat structure. Work drops from iters*n*K' to
+# sum(len_cam)*K' shadow rays (~5-10x on dragon-class mean path lengths),
+# identical math (same fold, reassociated sums).
+_CONN_DEFER = int(_os.environ.get("PYRITE_TPU_CONN_DEFER", "0"))
 
 
 def _connect_fold_grouped(
@@ -428,6 +437,102 @@ def _conn_fold(new_state, info, pack, blocked, pp, aux_ok, conn_vsum, conn_cnt):
         conn_vsum + jnp.sum(jnp.where(take, value, 0.0), axis=1),
         conn_cnt + jnp.sum(take.astype(jnp.float32), axis=1),
     )
+
+
+def _deferred_connections(scene, cfg, conn_r, vbuf):
+    """Connection occlusion + fold for RECORDED camera vertices, batched
+    top-level (the splat structure: chunked cap-wide shadow walks outside
+    any camera loop). ``vbuf``: [n, R, V] per-(lane, round, vertex) ring
+    buffers written by the regen walk. Vertices are compacted (valid
+    first) so only ~sum(len_cam) of the n*R*V capacity pays traversal —
+    a dynamic-trip while loop walks just the active chunks; the last
+    partial chunk is padded inert. Returns per-(lane, round) connection
+    sums [n, R, S] identical to the in-loop fold's (reassociated)."""
+    n, r_count, v_cap = vbuf["valid"].shape
+    s = vbuf["refl"].shape[-1]
+    slots = conn_r["conn_ok"].shape[2]
+    m = n * r_count * v_cap
+    rows = max(1, _splat_shadow_cap(scene) // slots)  # vertices per chunk
+    m_pad = ((m + rows - 1) // rows) * rows
+
+    def flat(x):
+        x = x.reshape((m,) + x.shape[3:])
+        widths = [(0, m_pad - m)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    valid = flat(vbuf["valid"])
+    # stable compaction: valid vertices first, original order preserved
+    order = jnp.argsort(~valid, stable=True)
+    idx = jnp.arange(m_pad, dtype=jnp.int32)
+    lane_of = jnp.where(idx < m, idx // (r_count * v_cap), 0)
+    round_of = jnp.where(idx < m, (idx // v_cap) % r_count, 0)
+    packed = {
+        f: flat(vbuf[f])[order]
+        for f in ("pos", "nor", "refl", "bright", "brdf", "aux")
+    }
+    p_lane = lane_of[order]
+    p_round = round_of[order]
+    p_valid = valid[order]
+    count = jnp.sum(valid.astype(jnp.int32))
+    active = (count + rows - 1) // rows  # dynamic chunk count
+
+    def chunk(i, vsum, cnt):
+        q0 = i * rows
+        take = lambda x: jax.lax.dynamic_slice_in_dim(x, q0, rows, axis=0)
+        vld = take(p_valid)
+        lane = take(p_lane)
+        rnd = take(p_round)
+        info_l = {
+            "position": take(packed["pos"]),
+            "normal": take(packed["nor"]),
+            "is_diffuse": vld,
+            "brdf_stored": take(packed["brdf"]),
+        }
+        state_l = {
+            "brightness": take(packed["bright"]),
+            "reflectance": take(packed["refl"]),
+            "aux_alive": take(packed["aux"]),
+        }
+        cok = conn_r["conn_ok"][lane, rnd] & vld[:, None]
+        query, pack = _conn_query(
+            info_l, conn_r["position"][lane, rnd],
+            conn_r["normal"][lane, rnd], cok,
+        )
+        # padded/invalid rows are all-zero geometry (degenerate 0-direction
+        # rays): give them an inert unit ray with max_dist 0 so the root
+        # slab test rejects every subtree (the splat padding trick)
+        vmask = jnp.repeat(vld, slots)
+        dir_q = jnp.where(
+            vmask[:, None], query["direction"], jnp.array([0.0, 0.0, 1.0])
+        )
+        maxd = jnp.where(vmask, query["max_dist"], 0.0)
+        t_hit = intersect_shadow(
+            scene, query["origin"], dir_q, cfg,
+            max_dist=maxd, block_below=maxd - DIST_EPSILON,
+        )
+        blocked = _conn_blocked(t_hit, query, rows, slots)
+        vs, cn = _conn_fold(
+            state_l, info_l, pack, blocked,
+            conn_r["pp"][lane, rnd], conn_r["aux_ok"][lane, rnd],
+            jnp.zeros((rows, s)), jnp.zeros((rows, s)),
+        )
+        li = jnp.where(vld, lane, n)  # out-of-range rows drop
+        return (
+            vsum.at[li, rnd].add(vs, mode="drop"),
+            cnt.at[li, rnd].add(cn, mode="drop"),
+        )
+
+    def body(carry):
+        i, vsum, cnt = carry
+        vsum, cnt = chunk(i, vsum, cnt)
+        return i + 1, vsum, cnt
+
+    _, vsum, cnt = jax.lax.while_loop(
+        lambda c: c[0] < active,
+        body,
+        (jnp.int32(0), jnp.zeros((n, r_count, s)), jnp.zeros((n, r_count, s))),
+    )
+    return vsum, cnt
 
 
 def make_render_step(
@@ -784,6 +889,33 @@ def make_regen_bdpt_steps(
     n = rows * w
     s = cfg.spectrum_samples
     r_count = rounds
+    # deferred connections: cluster scenes only (dense scenes' in-loop fold
+    # is one fused shadow batch; cluster walks inside the loop are both the
+    # slow part and the crash-prone part). Correct only while each lane
+    # runs at most one sample per round (spp_lane <= rounds — the driver
+    # guarantees this), since sample k records into round-k ring slots.
+    defer_conn = (
+        bool(_CONN_DEFER)
+        and scene.use_clusters
+        and scene.num_lamps > 0
+        and not _BDPT_NOCONN
+        and not merged_traversal_enabled()  # the merged body folds in-line
+    )
+    v_cap = cfg.bounces  # recorded-vertex capacity per sample
+
+    def _defer_buffers():
+        return {
+            "vbuf": {
+                "pos": jnp.zeros((n, r_count, v_cap, 3)),
+                "nor": jnp.zeros((n, r_count, v_cap, 3)),
+                "refl": jnp.zeros((n, r_count, v_cap, s)),
+                "bright": jnp.zeros((n, r_count, v_cap, s)),
+                "brdf": jnp.ones((n, r_count, v_cap)),
+                "aux": jnp.zeros((n, r_count, v_cap), bool),
+                "valid": jnp.zeros((n, r_count, v_cap), bool),
+            },
+            "len_cam_r": jnp.zeros((n, r_count), jnp.int32),
+        }
 
     def lamp_step(key, data, round_index):
         """One round's wavelength set + lamp paths + connection arrays at
@@ -932,6 +1064,8 @@ def make_regen_bdpt_steps(
             return camera.ray_towards(positions, u[:, 2], u[:, 3])
 
         carry = _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+        if defer_conn:
+            carry.update(_defer_buffers())
         state, cur0 = carry["state"], carry["cur"]
         max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
 
@@ -946,13 +1080,16 @@ def make_regen_bdpt_steps(
                 film, c["acc_l"], c["wt_l"], c["cur"]["wl"], st["brightness"],
                 st["aux_alive"], complete,
             )
-            total = jnp.maximum(c["len_cam"] * c["cur"]["len_lamp"], 1)
-            w_conn = jnp.where(complete, 1.0 / total.astype(jnp.float32), 0.0)
-            acc_l, wt_l = _accumulate_lane_sums(
-                film, acc_l, wt_l, c["cur"]["wl"],
-                c["conn_vsum"] * w_conn[:, None],
-                c["conn_cnt"] * w_conn[:, None],
-            )
+            if not defer_conn:
+                total = jnp.maximum(c["len_cam"] * c["cur"]["len_lamp"], 1)
+                w_conn = jnp.where(
+                    complete, 1.0 / total.astype(jnp.float32), 0.0
+                )
+                acc_l, wt_l = _accumulate_lane_sums(
+                    film, acc_l, wt_l, c["cur"]["wl"],
+                    c["conn_vsum"] * w_conn[:, None],
+                    c["conn_cnt"] * w_conn[:, None],
+                )
             return acc_l, wt_l, complete
 
         def cond(c):
@@ -962,8 +1099,18 @@ def make_regen_bdpt_steps(
 
         def body(c):
             st = c["state"]
+            lane_ix = jnp.arange(n, dtype=jnp.int32)
             # 1) expose paths that completed last bounce
             acc_l, wt_l, complete = expose_complete(c, st)
+            if defer_conn:
+                # the completing sample's recorded length, for the finish
+                # step's 1/(len_cam*len_lamp) connection weights
+                r_done = jnp.where(
+                    complete, jnp.minimum(c["done"], r_count - 1), r_count
+                )
+                len_cam_r = c["len_cam_r"].at[lane_ix, r_done].set(
+                    c["len_cam"], mode="drop"
+                )
             done = c["done"] + complete.astype(jnp.int32)
             pend = c["pend"] & st["alive"]
             # 2) regenerate: fresh camera sample at the lane's pixel, with
@@ -1011,15 +1158,43 @@ def make_regen_bdpt_steps(
             new_state, info = bounce_core(
                 scene, cfg, cur["wl"], st, jax.random.fold_in(k_tr, c["i"])
             )
+            out = {}
             if scene.num_lamps > 0 and not _BDPT_NOCONN:
-                # connect_paths (bidirectional.rs:310-398): one flattened
-                # [n*K] shadow batch per bounce (slot-grouped when K is
-                # large), identical math to the one-shot walk's scan_body
-                conn_vsum, conn_cnt = _connect_fold_grouped(
-                    scene, cfg, info, new_state,
-                    cur["position"], cur["normal"], cur["conn_ok"],
-                    cur["pp"], cur["aux_ok"], conn_vsum, conn_cnt,
-                )
+                if defer_conn:
+                    # record the diffuse vertex; the finish step batches all
+                    # connection shadow walks top-level (_deferred_connections)
+                    rec = info["is_diffuse"] & (len_cam < v_cap)
+                    r_i = jnp.where(rec, ridx[:, 0], r_count)
+                    v_i = jnp.minimum(len_cam, v_cap - 1)
+                    ix = (lane_ix, r_i, v_i)
+                    vb = c["vbuf"]
+                    out["vbuf"] = {
+                        "pos": vb["pos"].at[ix].set(info["position"], mode="drop"),
+                        "nor": vb["nor"].at[ix].set(info["normal"], mode="drop"),
+                        "refl": vb["refl"].at[ix].set(
+                            new_state["reflectance"], mode="drop"
+                        ),
+                        "bright": vb["bright"].at[ix].set(
+                            new_state["brightness"], mode="drop"
+                        ),
+                        "brdf": vb["brdf"].at[ix].set(
+                            info["brdf_stored"], mode="drop"
+                        ),
+                        "aux": vb["aux"].at[ix].set(
+                            new_state["aux_alive"], mode="drop"
+                        ),
+                        "valid": vb["valid"].at[ix].set(rec, mode="drop"),
+                    }
+                    out["len_cam_r"] = len_cam_r
+                else:
+                    # connect_paths (bidirectional.rs:310-398): one flattened
+                    # [n*K] shadow batch per bounce (slot-grouped when K is
+                    # large), identical math to the one-shot walk's scan_body
+                    conn_vsum, conn_cnt = _connect_fold_grouped(
+                        scene, cfg, info, new_state,
+                        cur["position"], cur["normal"], cur["conn_ok"],
+                        cur["pp"], cur["aux_ok"], conn_vsum, conn_cnt,
+                    )
 
             len_cam = len_cam + info["recorded"].astype(jnp.int32)
             # per-path depth budget (the one-shot walk's iteration bound)
@@ -1029,7 +1204,7 @@ def make_regen_bdpt_steps(
                 "i": c["i"] + 1, "state": new_state, "cur": cur,
                 "acc_l": acc_l, "wt_l": wt_l, "done": done, "pend": pend,
                 "plen": plen, "conn_vsum": conn_vsum, "conn_cnt": conn_cnt,
-                "len_cam": len_cam, "live": live,
+                "len_cam": len_cam, "live": live, **out,
             }
 
         def body_deferred(c):
@@ -1188,6 +1363,35 @@ def make_regen_bdpt_steps(
         # drain: the final iteration's deaths were never exposed in-loop
         acc_l, wt_l, _ = expose_complete(c, c["state"])
 
+        if defer_conn:
+            # finish the deferred connections: final completions' len_cam,
+            # then every recorded vertex's occlusion + fold in top-level
+            # chunked batches, exposed per round at 1/(len_cam*len_lamp)
+            lane_ix = jnp.arange(n, dtype=jnp.int32)
+            complete_f = c["pend"] & ~c["state"]["alive"]
+            r_done = jnp.where(
+                complete_f, jnp.minimum(c["done"], r_count - 1), r_count
+            )
+            len_cam_r = c["len_cam_r"].at[lane_ix, r_done].set(
+                c["len_cam"], mode="drop"
+            )
+            vsum_r, cnt_r = _deferred_connections(scene, cfg, conn_r, c["vbuf"])
+            len_lamp_r = jnp.maximum(conn_r["length"], 1)  # [n, R]
+            # len_cam_r == 0 <=> the sample never completed (quota or
+            # max_iters cut it): inline never exposes those sums either
+            w_r = jnp.where(
+                len_cam_r > 0,
+                1.0
+                / jnp.maximum(len_cam_r * len_lamp_r, 1).astype(jnp.float32),
+                0.0,
+            )
+            for k in range(r_count):
+                acc_l, wt_l = _accumulate_lane_sums(
+                    film, acc_l, wt_l, wl_r[:, k],
+                    vsum_r[:, k] * w_r[:, k, None],
+                    cnt_r[:, k] * w_r[:, k, None],
+                )
+
         # write the lane accumulators into the film's row window
         flat_acc = acc.reshape(film.height * w, film.bins)
         flat_wt = wt.reshape(film.height * w, film.bins)
@@ -1230,7 +1434,10 @@ def make_regen_bdpt_steps(
 
     def carry0(slots):
         """Host-side zero carry for the staged walk (slots = conn_r K')."""
-        return _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+        c = _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+        if defer_conn:
+            c.update(_defer_buffers())
+        return c
 
     if not jit:
         return {

@@ -881,3 +881,54 @@ def test_staged_cam_walk_matches_one_shot(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(acc_s), np.asarray(acc_o), rtol=1e-5, atol=1e-7
     )
+
+
+def test_deferred_connections_match_inline(tmp_path, monkeypatch):
+    """Deferred connections (PYRITE_TPU_CONN_DEFER: the regen walk records
+    diffuse vertices and the finish step batches every connection shadow
+    walk top-level) must reproduce the in-loop fold: no RNG draws differ,
+    only the fold's sum association, so films agree to float tolerance."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synthetic import terrain_scene
+
+    from pyrite_tpu.renderers import bidirectional as bdpt_mod
+
+    lua, _ = terrain_scene(
+        str(tmp_path), cells=24, width=16, height=8, spp=4, bounces=20
+    )
+    src = open(lua).read().replace(
+        "renderer.simple", "renderer.bidirectional"
+    ).replace(
+        "light_samples = 1,",
+        "light_samples = 1,\n        light_bounces = 3,",
+    )
+    path = tmp_path / "terrain_bdpt_defer.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert scene.use_clusters
+    assert pd.project.renderer.bounces >= bdpt_mod.REGEN_BDPT_MIN_BOUNCES
+
+    film, acc_i, wt_i = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+
+    monkeypatch.setattr(bdpt_mod, "_CONN_DEFER", 1)
+    film, acc_d, wt_d = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+
+    np.testing.assert_allclose(
+        np.asarray(wt_d), np.asarray(wt_i), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc_d), np.asarray(acc_i), rtol=1e-4, atol=1e-6
+    )
+
+    # staged + deferred combined (the dragon-class TPU configuration)
+    monkeypatch.setattr(bdpt_mod, "_CAM_ITER_CAP", 3)
+    film, acc_sd, wt_sd = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
+    np.testing.assert_allclose(
+        np.asarray(acc_sd), np.asarray(acc_d), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(wt_sd), np.asarray(wt_d), rtol=1e-5, atol=1e-7
+    )
