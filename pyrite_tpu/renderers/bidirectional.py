@@ -452,7 +452,16 @@ def _deferred_connections(scene, cfg, conn_r, vbuf):
     s = vbuf["refl"].shape[-1]
     slots = conn_r["conn_ok"].shape[2]
     m = n * r_count * v_cap
-    rows = max(1, _splat_shadow_cap(scene) // slots)  # vertices per chunk
+    # vertices per chunk: near the splat cap, but with the flattened query
+    # width (rows * slots) a multiple of 1024 — every cluster walk this
+    # backend has ever run clean is 1024-aligned (16k/32k/262k), and the
+    # one unaligned width dispatched (1020 * 257 = 262140) crashed the
+    # TPU worker (1D operands are XLA-tiled T(1024))
+    from math import gcd
+
+    rows = max(1, _splat_shadow_cap(scene) // slots)
+    k_align = 1024 // gcd(slots, 1024)
+    rows = max(k_align, rows // k_align * k_align)
     m_pad = ((m + rows - 1) // rows) * rows
 
     def flat(x):
