@@ -298,8 +298,13 @@ _BDPT_NOCONN = int(_os.environ.get("PYRITE_TPU_BDPT_NOCONN", "0"))
 # step runs all connection batches top-level over the compacted vertex
 # list — the proven-safe splat structure. Work drops from iters*n*K' to
 # sum(len_cam)*K' shadow rays (~5-10x on dragon-class mean path lengths),
-# identical math (same fold, reassociated sums).
-_CONN_DEFER = int(_os.environ.get("PYRITE_TPU_CONN_DEFER", "0"))
+# identical math (same fold, reassociated sums). DEFAULT ON: measured on the
+# dragon workload (871k tris, 256 light bounces) the deferred staged walk
+# runs 41 camera iterations + finish clean end-to-end, while the in-loop
+# grouped fold CRASHES the TPU worker on its very first cam_iter launch —
+# deferral is the only connection path that survives dragon-class scenes
+# on this backend (CPU parity: test_renderers.py inline-vs-deferred).
+_CONN_DEFER = int(_os.environ.get("PYRITE_TPU_CONN_DEFER", "1"))
 
 
 def _connect_fold_grouped(

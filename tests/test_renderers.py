@@ -911,6 +911,7 @@ def test_deferred_connections_match_inline(tmp_path, monkeypatch):
     assert scene.use_clusters
     assert pd.project.renderer.bounces >= bdpt_mod.REGEN_BDPT_MIN_BOUNCES
 
+    monkeypatch.setattr(bdpt_mod, "_CONN_DEFER", 0)
     film, acc_i, wt_i = bdpt_mod.render(pd, scene, seed=6, max_samples=4)
 
     monkeypatch.setattr(bdpt_mod, "_CONN_DEFER", 1)
