@@ -11,6 +11,8 @@ uniformly-chosen hero).
 from __future__ import annotations
 
 from dataclasses import dataclass
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -210,7 +212,9 @@ def make_render_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCo
 # Overshoot tracing costs no wall time: the loop iteration count is set by
 # the slowest lane either way, so extras ride otherwise-idle lanes.
 
-REGEN_TARGET_LANES = 524288  # megabatch width: amortizes the dispatch floor
+REGEN_TARGET_LANES = int(
+    _os.environ.get("PYRITE_TPU_REGEN_LANES", "524288")
+)  # megabatch width: amortizes the dispatch floor (A/B: 1M measured ~ same)
 REGEN_MAX_PLANES = 8
 
 
