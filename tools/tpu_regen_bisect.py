@@ -15,6 +15,17 @@ Structural variants (isolate the non-additive full-combination blowup):
   full_barrier -- exact semantics; optimization_barrier cuts done->reg fusion
   full_lagspp  -- quota bool carried from the previous iteration (lane may
                   overshoot its quota by <=1 in-flight sample; unbiased)
+  prod         -- the SHIPPED round-3 body: unconditional regen, quota
+                  enforced at exposure (include = complete & done<spp),
+                  live counter carried (mirrors simple.make_regen_step body)
+  prod_noinc   -- prod minus the done->include exposure gate
+  prod_nolive  -- prod minus the live-lane counter reduction
+  prod_noalive -- live drops the vacuous & post-regen alive (always true:
+                  every dead lane regenerates) -> live = sum(done2 < spp)
+  prod_shared  -- one comparison tensor serves both gates: include =
+                  complete & (done2 <= spp), live = sum(done2 < spp)
+  prod_barrier -- exact prod semantics; optimization_barrier on the
+                  exposure quota gate
 Pass 'hlo' as a variant name to dump per-variant compiled-HLO copy/fusion
 counts instead of timing.
 """
@@ -73,7 +84,101 @@ def main():
         )
         return origin, direction, wavelengths
 
+    def make_prod(variant):
+        """Mirror simple.make_regen_step's shipped body() exactly (modulo
+        the row0/while-cond scaffolding): unconditional overshoot regen,
+        quota enforced at exposure, live counter in the carry."""
+        gate_inc = variant != "prod_noinc"
+        count_live = variant != "prod_nolive"
+
+        def step(key, data, spp_lane):
+            with scene.bind(data):
+                k_gen = jax.random.fold_in(key, 7919)
+                k_tr = jax.random.fold_in(key, 7)
+                o0, d0, wl0 = fresh_rays(jax.random.fold_in(k_gen, 99), 0)
+                st = _trace_state(o0, d0, s)
+                carry = {
+                    "i": jnp.int32(0),
+                    "state": st,
+                    "wl": wl0,
+                    "acc_l": jnp.zeros((n, film.bins)),
+                    "wt_l": jnp.zeros((n, film.bins)),
+                    "done": jnp.zeros(n, jnp.int32),
+                    "pend": jnp.ones(n, bool),
+                    "plen": jnp.zeros(n, jnp.int32),
+                    "live": jnp.float32(0.0),
+                }
+
+                def body(_, c):
+                    st = c["state"]
+                    complete = c["pend"] & ~st["alive"]
+                    done = c["done"] + complete.astype(jnp.int32)
+                    if variant == "prod_shared":
+                        # one post-update comparison serves both gates:
+                        # complete lanes have done = c.done+1, so
+                        # c.done < spp  <=>  done <= spp  on those lanes
+                        include = complete & (done <= spp_lane)
+                    elif variant == "prod_barrier":
+                        include = complete & jax.lax.optimization_barrier(
+                            c["done"] < spp_lane
+                        )
+                    elif gate_inc:
+                        include = complete & (c["done"] < spp_lane)
+                    else:
+                        include = complete
+                    acc_l, wt_l = _accumulate_lane_bins(
+                        film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
+                        st["aux_alive"], include,
+                    )
+                    pend = c["pend"] & st["alive"]
+                    reg = ~st["alive"]
+                    o2, d2, wl2 = fresh_rays(
+                        jax.random.fold_in(k_gen, c["i"]), 0
+                    )
+                    rc = reg[:, None]
+                    st = {
+                        "origin": jnp.where(rc, o2, st["origin"]),
+                        "direction": jnp.where(rc, d2, st["direction"]),
+                        "brightness": jnp.where(rc, 0.0, st["brightness"]),
+                        "reflectance": jnp.where(rc, 1.0, st["reflectance"]),
+                        "alive": st["alive"] | reg,
+                        "aux_alive": jnp.where(reg, True, st["aux_alive"]),
+                        "sample_light": jnp.where(reg, True, st["sample_light"]),
+                        "light_events": jnp.where(reg, 0, st["light_events"]),
+                    }
+                    wl = jnp.where(rc, wl2, c["wl"])
+                    pend = pend | reg
+                    plen = jnp.where(reg, 0, c["plen"])
+                    live = c["live"]
+                    if count_live:
+                        quota = done < spp_lane
+                        if variant in ("prod_noalive", "prod_shared"):
+                            # post-regen alive is vacuously all-true
+                            # (unconditional restart), so drop the & edge
+                            live = live + jnp.sum(quota.astype(jnp.float32))
+                        else:
+                            live = live + jnp.sum(
+                                (st["alive"] & quota).astype(jnp.float32)
+                            )
+                    st, _ = bounce_core(
+                        scene, cfg, wl, st, jax.random.fold_in(k_tr, c["i"])
+                    )
+                    plen = plen + st["alive"].astype(jnp.int32)
+                    st["alive"] = st["alive"] & (plen < cfg.bounces)
+                    return {
+                        "i": c["i"] + 1, "state": st, "wl": wl,
+                        "acc_l": acc_l, "wt_l": wt_l, "done": done,
+                        "pend": pend, "plen": plen, "live": live,
+                    }
+
+                c = jax.lax.fori_loop(0, iters, body, carry)
+                return c["acc_l"].sum() + c["state"]["brightness"].sum()
+
+        return jax.jit(step)
+
     def make(variant):
+        if variant.startswith("prod"):
+            return make_prod(variant)
         fullish = variant.startswith("full")
         do_expose = fullish or variant in ("no_fresh", "no_book", "expose_only")
         do_fresh = fullish or variant in ("no_expose", "no_book", "fresh_only")
