@@ -184,8 +184,9 @@ def _regen_bench_loop(scene_path, spp, reps):
     """Shared regen-bench harness mirroring simple._render_regen's adaptive
     quota loop: one uniform warm round learns per-lane completion rates,
     one adaptive warm round reaches the steady-state quota distribution,
-    then ``reps`` timed adaptive rounds. Returns (live, executed, samples,
-    dt, light_samples) raw sums."""
+    then ``reps`` timed adaptive rounds. Returns a stats dict with the raw
+    sums plus the launch geometry (lanes, scene primitive count) so callers
+    can derive utilization figures."""
     import jax
     import numpy as np
 
@@ -238,29 +239,87 @@ def _regen_bench_loop(scene_path, spp, reps):
             samples += q
     # the per-launch done-fetch already forces each launch
     dt = time.time() - t0
-    return lvs, exs, samples, dt, cfg.light_samples, film.width * film.height
+    return {
+        "live": lvs,
+        "executed": exs,
+        "samples": samples,
+        "dt": dt,
+        "light_samples": cfg.light_samples,
+        "pixels": film.width * film.height,
+        "lanes": n,
+        "prims": scene.num_primitives,
+        "dense": not scene.use_clusters,
+    }
 
 
-def bench_simple_regen(scene_path, spp=160, reps=3):
+def bench_simple_regen(scene_path, spp=160, reps=3, stats=False):
     """Steady-state Mrays/s of the path-regeneration scheduler (the simple
     renderer's default path for dense scenes): dead lanes restart a fresh
     sample in place and per-lane quotas are depth-balanced, so occupancy
     stays high at any bounce depth. The regen step itself counts live and
     executed lane-bounces (live = quota-bound lanes only; discarded
     overshoot extras are NOT credited); returns (live_mrays,
-    executed_mrays) with NEE shadow rays credited like bench_simple."""
-    lvs, exs, _, dt, light_samples, _ = _regen_bench_loop(scene_path, spp, reps)
-    scale = 1 + light_samples
-    return lvs * scale / dt / 1e6, exs * scale / dt / 1e6
+    executed_mrays) with NEE shadow rays credited like bench_simple.
+    With ``stats=True`` the raw stats dict is returned as a third value."""
+    st = _regen_bench_loop(scene_path, spp, reps)
+    scale = 1 + st["light_samples"]
+    live = st["live"] * scale / st["dt"] / 1e6
+    executed = st["executed"] * scale / st["dt"] / 1e6
+    if stats:
+        return live, executed, st
+    return live, executed
 
 
 def bench_regen_spp(scene_path, spp=16, reps=2):
     """Steady-state samples/sec of the regeneration scheduler on a full
     scene (deep-bounce dense scenes like diamonds): times ``reps`` adaptive
     rounds of ~``spp`` samples each after two warm rounds."""
-    _, _, samples, dt, _, pixels = _regen_bench_loop(scene_path, spp, reps)
+    st = _regen_bench_loop(scene_path, spp, reps)
     # samples is the per-lane quota sum = exposed samples across the film
-    return samples / pixels / dt
+    return st["samples"] / st["pixels"] / st["dt"]
+
+
+# Utilization accounting constants. v5e peak is the bf16 MXU number; the
+# trace loop is mostly f32 VPU work, so utilization vs this peak is a
+# deliberately harsh upper-bound denominator (it answers "how far from the
+# machine's light" — not "how well tuned is the VPU code").
+TPU_V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
+DISPATCH_FLOOR_S = 2.75e-3  # measured per-bounce-iteration op-dispatch floor
+
+
+def utilization_extras(prefix, st):
+    """Derive utilization entries from a regen-bench stats dict: the
+    dispatch-floor share (iterations x 2.75 ms over wall — how much of the
+    wall is per-iteration op dispatch rather than math) and an
+    intersection-FLOP estimate (executed lane-bounces x primitives tested x
+    ~90 flops per Moller-Trumbore/sphere test; program evals and shading
+    excluded, so it is a lower bound) against the v5e bf16 peak."""
+    out = []
+    iters = st["executed"] / max(st["lanes"], 1)
+    floor_share = iters * DISPATCH_FLOOR_S / st["dt"]
+    out.append(
+        {
+            "metric": f"{prefix}: dispatch-floor share of wall "
+            "(iterations x 2.75ms / time; rest is math+memory)",
+            "value": round(min(floor_share, 1.0), 3),
+            "unit": "fraction",
+        }
+    )
+    if st["dense"]:
+        # the dense path tests every primitive per lane-bounce (1 closest +
+        # light_samples shadow tests, each against all prims)
+        tests = st["executed"] * (1 + st["light_samples"]) * st["prims"]
+        flops = tests * 90.0
+        out.append(
+            {
+                "metric": f"{prefix}: intersection-test utilization "
+                f"(executed bounces x {st['prims']} prims x 90 flops, "
+                "vs 197 TFLOP/s v5e bf16 peak; shading excluded)",
+                "value": round(flops / st["dt"] / TPU_V5E_PEAK_FLOPS * 100, 3),
+                "unit": "percent of peak",
+            }
+        )
+    return out
 
 
 def bench_time_to_noise(scene_path, threshold=2.0 / 255.0, max_spp=96, check_every=4):
@@ -326,7 +385,8 @@ def bench_render_spp(scene_path, algorithm="bidirectional", samples=4, warm=1):
 
 def bench_terrain(steps=3):
     """Steady-state live-lane Mrays/s on the synthetic 328k-triangle terrain
-    (dragon-class large mesh; the reference's dragon OBJ is stripped)."""
+    (dragon-class large mesh; the reference's dragon OBJ is stripped).
+    Returns (live_mrays, tris, stats_or_None)."""
     import tempfile
 
     import sys
@@ -341,8 +401,9 @@ def bench_terrain(steps=3):
     from pyrite_tpu.renderers.simple import regen_clusters_enabled
 
     if regen_clusters_enabled():
-        return bench_simple_regen(lua, spp=64, reps=2)[0], tris
-    return bench_simple(lua, steps=steps)[0], tris
+        live, _, st = bench_simple_regen(lua, spp=64, reps=2, stats=True)
+        return live, tris, st
+    return bench_simple(lua, steps=steps)[0], tris, None
 
 
 def bench_dragon_bdpt(samples=6):
@@ -372,12 +433,37 @@ def bench_dragon_bdpt(samples=6):
 
 
 def main():
+    """Run the suite under a global wall-clock budget, emitting the result
+    line INCREMENTALLY: the primary (spheres regen throughput) is printed
+    and flushed the moment it lands, and the full line is re-printed after
+    every additional entry. The driver parses the LAST JSON line, so a
+    timeout anywhere loses only the not-yet-run entries — round 3 lost its
+    entire scoreboard to a single rc-124 timeout because the old main()
+    printed once at the very end. Each entry declares a conservative time
+    reservation and is skipped (with the reason recorded) when the
+    remaining budget cannot cover it."""
+    import os
+
+    budget = float(os.environ.get("PYRITE_TPU_BENCH_BUDGET", "1200"))
+    t_start = time.time()
     extras = []
 
     spheres = "/root/reference/pyrite/test/spheres/spheres.lua"
     cornell = "/root/reference/pyrite/test/cornell/cornell.lua"
 
-    mrays, executed_mrays = bench_simple_regen(spheres)
+    mrays, executed_mrays, st = bench_simple_regen(spheres, stats=True)
+    result = {
+        "metric": "trace throughput, spheres 512x256 simple renderer "
+        "(live lanes only)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/sec/chip",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "extras": extras,
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
     extras.append(
         {
             "metric": "trace throughput, spheres, regen executed lane-bounces "
@@ -386,84 +472,73 @@ def main():
             "unit": "Mrays/sec/chip",
         }
     )
-    try:
-        oneshot_mrays, oneshot_executed = bench_simple(spheres)
-        extras.append(
-            {
-                "metric": "trace throughput, spheres, one-shot wavefront "
-                "(live lanes; the pre-regen r02 primary)",
-                "value": round(oneshot_mrays, 3),
-                "unit": "Mrays/sec/chip",
-            }
-        )
-    except Exception as error:
-        extras.append({"metric": "one-shot spheres Mrays/sec", "error": repr(error)})
+    extras.extend(utilization_extras("spheres regen", st))
+    emit()
 
-    try:
-        spp_rate = bench_render_spp(cornell)
-        extras.append(
-            {
-                "metric": "sampling rate, cornell 512x512 bidirectional",
-                "value": round(spp_rate, 4),
-                "unit": "spp/sec",
-            }
-        )
-    except Exception as error:  # never lose the primary line
-        extras.append({"metric": "cornell bdpt spp/sec", "error": repr(error)})
+    def remaining():
+        return budget - (time.time() - t_start)
 
-    try:
-        # 256-bounce dispersion scene on the regeneration scheduler (dead
-        # lanes restart fresh samples in place; one compile for any spp)
-        diamonds = "/root/reference/pyrite/test/diamonds/diamonds.lua"
-        spp_rate = bench_regen_spp(diamonds, spp=16, reps=2)
-        extras.append(
-            {
-                "metric": "sampling rate, diamonds 512x300 simple "
-                "(256 bounces, path-regeneration scheduler)",
-                "value": round(spp_rate, 4),
-                "unit": "spp/sec",
-            }
-        )
-    except Exception as error:
-        extras.append({"metric": "diamonds spp/sec", "error": repr(error)})
+    def entry(name, need, fn):
+        """Run one budgeted entry and re-emit the full result line."""
+        if remaining() < need:
+            extras.append(
+                {
+                    "metric": name,
+                    "skipped": f"time budget: {remaining():.0f}s remaining "
+                    f"< {need:.0f}s reserved",
+                }
+            )
+        else:
+            try:
+                value = fn()
+                extras.extend(value if isinstance(value, list) else [value])
+            except Exception as error:  # never lose the primary line
+                extras.append({"metric": name, "error": repr(error)})
+        emit()
 
-    try:
-        terrain_mrays, tris = bench_terrain()
-        extras.append(
+    def cornell_entry():
+        return {
+            "metric": "sampling rate, cornell 512x512 bidirectional",
+            "value": round(bench_render_spp(cornell), 4),
+            "unit": "spp/sec",
+        }
+
+    def terrain_entry():
+        terrain_mrays, tris, st = bench_terrain()
+        out = [
             {
                 "metric": f"trace throughput, synthetic terrain {tris} tris simple",
                 "value": round(terrain_mrays, 3),
                 "unit": "Mrays/sec/chip",
             }
-        )
-    except Exception as error:
-        extras.append({"metric": "terrain Mrays/sec", "error": repr(error)})
+        ]
+        if st is not None:
+            out.extend(utilization_extras("terrain regen", st))
+        return out
 
-    try:
-        ttn = bench_time_to_noise(spheres)
-        extras.append(
-            {
-                "metric": "time to noise target, spheres 512x256 "
-                "(consecutive previews < 2/255 mean |delta|)",
-                "value": round(ttn, 2),
-                "unit": "seconds",
-            }
-        )
-    except Exception as error:
-        extras.append({"metric": "time-to-noise seconds", "error": repr(error)})
+    def diamonds_entry():
+        # 256-bounce dispersion scene on the regeneration scheduler (dead
+        # lanes restart fresh samples in place; one compile for any spp)
+        diamonds = "/root/reference/pyrite/test/diamonds/diamonds.lua"
+        return {
+            "metric": "sampling rate, diamonds 512x300 simple "
+            "(256 bounces, path-regeneration scheduler)",
+            "value": round(bench_regen_spp(diamonds, spp=16, reps=2), 4),
+            "unit": "spp/sec",
+        }
 
-    # dragon runs LAST and in a SUBPROCESS: the 20/256-bounce stacked camera
-    # walk is the heaviest launch in the suite and historically could crash
-    # the TPU worker — a subprocess bounds the blast radius (crash or hang
-    # cannot lose the already-measured entries) and the ordering means a
-    # wedged device costs only this entry.
-    try:
+    def dragon_entry():
+        # subprocess: the 20/256-bounce stacked camera walk is the heaviest
+        # launch in the suite and historically could crash the TPU worker —
+        # a crash or hang cannot lose the already-emitted entries, and the
+        # subprocess timeout is bounded by the remaining global budget.
         import subprocess
         import sys as _sys
 
         out = subprocess.run(
             [_sys.executable, __file__, "--dragon-only"],
-            capture_output=True, text=True, timeout=2400,
+            capture_output=True, text=True,
+            timeout=max(60.0, remaining() - 30.0),
         )
         line = next(
             (l for l in reversed(out.stdout.splitlines()) if l.startswith("{")),
@@ -474,22 +549,34 @@ def main():
                 f"rc={out.returncode} tail={out.stdout[-300:]!r} "
                 f"err={out.stderr[-300:]!r}"
             )
-        extras.append(json.loads(line))
-    except Exception as error:
-        extras.append({"metric": "dragon-class bdpt spp/sec", "error": repr(error)})
+        return json.loads(line)
 
-    print(
-        json.dumps(
-            {
-                "metric": "trace throughput, spheres 512x256 simple renderer "
-                "(live lanes only)",
-                "value": round(mrays, 3),
-                "unit": "Mrays/sec/chip",
-                "vs_baseline": round(mrays / 100.0, 4),
-                "extras": extras,
-            }
-        )
-    )
+    def oneshot_entry():
+        oneshot_mrays, _ = bench_simple(spheres)
+        return {
+            "metric": "trace throughput, spheres, one-shot wavefront "
+            "(live lanes; the pre-regen r02 primary)",
+            "value": round(oneshot_mrays, 3),
+            "unit": "Mrays/sec/chip",
+        }
+
+    def ttn_entry():
+        return {
+            "metric": "time to noise target, spheres 512x256 "
+            "(consecutive previews < 2/255 mean |delta|)",
+            "value": round(bench_time_to_noise(spheres), 2),
+            "unit": "seconds",
+        }
+
+    # importance order: the open round-2/3 targets (cornell, terrain) before
+    # the corroborating entries; dragon before the cheap spheres re-runs
+    # because its number has never landed in a driver artifact.
+    entry("cornell bdpt spp/sec", 240, cornell_entry)
+    entry("terrain Mrays/sec", 240, terrain_entry)
+    entry("diamonds spp/sec", 180, diamonds_entry)
+    entry("dragon-class bdpt spp/sec", 300, dragon_entry)
+    entry("one-shot spheres Mrays/sec", 120, oneshot_entry)
+    entry("time-to-noise seconds", 120, ttn_entry)
 
 
 def dragon_only():
