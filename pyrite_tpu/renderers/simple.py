@@ -320,12 +320,16 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 "pend": jnp.zeros(n, bool),
                 "plen": jnp.zeros(n, jnp.int32),
                 "live": jnp.float32(0.0),
+                # short-lane count carried in the loop state: the cond reads
+                # it instead of recomputing sum(done < spp) — a THIRD
+                # comparison against yet another done tensor, the same
+                # fusion-cliff class the body just paid to remove
+                "short": jnp.sum((0 < spp_lane).astype(jnp.int32)),
             }
             max_iters = (jnp.max(spp_lane) + 1) * cfg.bounces
 
             def cond(c):
-                short = jnp.sum((c["done"] < spp_lane).astype(jnp.int32))
-                return (short > tail_count) & (c["i"] < max_iters)
+                return (c["short"] > tail_count) & (c["i"] < max_iters)
 
             def body(c):
                 st = c["state"]
@@ -336,12 +340,20 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 # data edge tripped a TPU fusion cliff worth ~20 ms/iter at
                 # megabatch width, and gating exposure keeps counts exact.
                 complete = c["pend"] & ~st["alive"]
-                include = complete & (c["done"] < spp_lane)
+                done = c["done"] + complete.astype(jnp.int32)
+                # ONE post-update comparison tensor serves both the exposure
+                # gate and the live counter below (tools/tpu_regen_bisect
+                # prod_shared: 15.5 vs the two-comparison body's 36.7
+                # ms/iter at 524k lanes — comparing against two different
+                # done tensors tripped a non-additive fusion cliff). On
+                # complete lanes done = c.done+1, so (done <= Q) there is
+                # exactly the old (c.done < Q): inclusion is unchanged
+                # first-Q, still exact and unbiased.
+                include = complete & (done <= spp_lane)
                 acc_l, wt_l = _accumulate_lane_bins(
                     film, c["acc_l"], c["wt_l"], c["wl"], st["brightness"],
                     st["aux_alive"], include,
                 )
-                done = c["done"] + complete.astype(jnp.int32)
                 pend = c["pend"] & st["alive"]
                 # 2) regenerate: fresh stratified sample at the lane's
                 # pixel. EVERY dead lane restarts, even past its quota
@@ -369,10 +381,16 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 plen = jnp.where(reg, 0, c["plen"])
                 # live counts only quota-bound lanes (a lane's in-flight
                 # sample index is done+1, so done < Q iff it will expose) —
-                # discarded extras are not useful throughput
-                live = c["live"] + jnp.sum(
-                    (st["alive"] & (done < spp_lane)).astype(jnp.float32)
-                )
+                # discarded extras are not useful throughput. Post-regen
+                # alive is vacuously all-true (every dead lane restarted),
+                # so the & edge is dropped: same counts, and the comparison
+                # reuses the shared post-update done tensor (see above);
+                # its reduction also feeds the carried short-lane count the
+                # cond reads (post-body done is exactly what the old cond
+                # recomputed from the carry).
+                quota = (done < spp_lane).astype(jnp.int32)
+                short = jnp.sum(quota)
+                live = c["live"] + short.astype(jnp.float32)
                 # 3) one bounce for every live lane
                 st, _ = bounce_core(
                     scene, cfg, wl, st, jax.random.fold_in(k_tr, c["i"])
@@ -384,7 +402,7 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                 return {
                     "i": c["i"] + 1, "state": st, "wl": wl, "acc_l": acc_l,
                     "wt_l": wt_l, "done": done, "pend": pend, "plen": plen,
-                    "live": live,
+                    "live": live, "short": short,
                 }
 
             def body_deferred(c):
@@ -442,6 +460,8 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
                     "wl": wl, "acc_l": acc_l, "wt_l": wt_l, "done": done,
                     "pend": (c["pend"] & alive) | reg,
                     "plen": jnp.where(reg, 0, plen), "live": live,
+                    # carried short-lane count for the cond (see body())
+                    "short": jnp.sum((done < spp_lane).astype(jnp.int32)),
                 }
 
             if deferred:
