@@ -80,7 +80,25 @@ def walk_enabled() -> bool:
 
 
 def _interpret() -> bool:
-    return os.environ.get("PYRITE_TPU_PALLAS", "auto") == "interpret"
+    return (
+        os.environ.get("PYRITE_TPU_PALLAS", "auto") == "interpret"
+        or os.environ.get("PYRITE_TPU_SWEEP_KERNEL", "0") == "interpret"
+    )
+
+
+def sweep_kernel_enabled() -> bool:
+    """Fused leaf sweep inside the *XLA* walk's outer_body (not the losing
+    fused-walk path): sweep_closest/sweep_shadow replace the ~20 dispatched
+    XLA ops per compacted leaf sweep with one kernel launch after the
+    (XLA-native) leaf-sheet gather. PYRITE_TPU_SWEEP_KERNEL=1 enables on
+    TPU; =interpret enables everywhere in interpreter mode (parity tests).
+    Default off pending the terrain A/B."""
+    mode = os.environ.get("PYRITE_TPU_SWEEP_KERNEL", "0")
+    if mode == "0":
+        return False
+    if mode == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _walk_kernel(

@@ -187,9 +187,12 @@ def _splat_shadow_cap(scene) -> int:
     dense scenes keep the single batched query."""
     if not scene.use_clusters:
         return 1 << 62
-    from ..tracer import CLUSTER_LANE_CAP, COMPACT_DIV
+    from ..tracer import CLUSTER_LANE_CAP, COMPACT_DIV, aligned_chunk_rows
 
-    return CLUSTER_LANE_CAP * COMPACT_DIV
+    # route through the centralized alignment guard: the tuned cap is
+    # already 1024-aligned, but every top-level dispatch width must stay on
+    # the invariant even if the env knobs change it
+    return aligned_chunk_rows(CLUSTER_LANE_CAP * COMPACT_DIV)
 
 
 def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_lanes=None):
@@ -457,16 +460,12 @@ def _deferred_connections(scene, cfg, conn_r, vbuf):
     s = vbuf["refl"].shape[-1]
     slots = conn_r["conn_ok"].shape[2]
     m = n * r_count * v_cap
-    # vertices per chunk: near the splat cap, but with the flattened query
-    # width (rows * slots) a multiple of 1024 — every cluster walk this
-    # backend has ever run clean is 1024-aligned (16k/32k/262k), and the
-    # one unaligned width dispatched (1020 * 257 = 262140) crashed the
-    # TPU worker (1D operands are XLA-tiled T(1024))
-    from math import gcd
+    # vertices per chunk: near the splat cap, with the flattened query
+    # width (rows * slots) kept on the centralized alignment invariant
+    # (tracer.aligned_chunk_rows — unaligned widths crash the TPU worker)
+    from ..tracer import aligned_chunk_rows
 
-    rows = max(1, _splat_shadow_cap(scene) // slots)
-    k_align = 1024 // gcd(slots, 1024)
-    rows = max(k_align, rows // k_align * k_align)
+    rows = aligned_chunk_rows(max(1, _splat_shadow_cap(scene) // slots), slots)
     m_pad = ((m + rows - 1) // rows) * rows
 
     def flat(x):

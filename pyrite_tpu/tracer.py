@@ -1993,6 +1993,38 @@ def trace_lamp_path(scene: Scene, cfg: TraceConfig, key, wavelengths):
 # iteration). Tuned on TPU v5e (327k-tri terrain).
 import os as _os
 
+# ---- axon launch-safety invariants -----------------------------------------
+# Every top-level cluster-traversal dispatch this backend has ever run clean
+# had a 1024-aligned lane count (16k/32k/262k); the one unaligned width
+# dispatched (1020 x 257 = 262140 lanes) crashed the TPU worker outright —
+# 1D f32/i32 operands are XLA-tiled T(1024), and Mosaic/axon fault rather
+# than pad. These helpers centralize the invariant so every chunked dispatch
+# (deferred connections, splat chunks, pool flushes) derives its width from
+# one place instead of re-discovering the crash class per call site.
+LAUNCH_ALIGN = 1024
+
+
+def aligned_chunk_rows(cap_rows: int, unit: int = 1) -> int:
+    """Largest row count <= cap_rows whose flattened lane count
+    (rows * unit) is a LAUNCH_ALIGN multiple — used to round a per-chunk
+    budget DOWN to a safe dispatch width. Never returns less than the
+    minimum aligned count (so a tiny cap still yields a legal launch)."""
+    from math import gcd
+
+    k = LAUNCH_ALIGN // gcd(max(unit, 1), LAUNCH_ALIGN)
+    return max(k, (cap_rows // k) * k)
+
+
+def aligned_width(width: int, unit: int = 1) -> int:
+    """Smallest width >= max(width, 1) whose flattened lane count
+    (width * unit) is a LAUNCH_ALIGN multiple — used to round a launch
+    width UP (callers pad the operands to match)."""
+    from math import gcd
+
+    k = LAUNCH_ALIGN // gcd(max(unit, 1), LAUNCH_ALIGN)
+    return ((max(width, 1) + k - 1) // k) * k
+
+
 # Lanes per launch on the cluster (wide-BVH) path. The walk's per-outer-
 # iteration cost at 32k lanes is mostly fixed op-dispatch (~60 tiny ops per
 # round), so wider launches amortize it — overridable for TPU A/B runs.
@@ -2394,9 +2426,35 @@ def _leaf_geometry(scene: Scene, leaf_ids, active):
     return g, act
 
 
+def _sweep_kernel_ok(scene: Scene) -> bool:
+    """Gate for the fused Pallas leaf sweep inside the XLA walk: the
+    channel-major sheet must exist and Mosaic needs 128-divisible leaf
+    tiles (kernels._sub_leaf)."""
+    from . import kernels
+
+    return (
+        kernels.sweep_kernel_enabled()
+        and "clu_geo_ch" in scene.arrays
+        and scene.cluster_leaf % 128 == 0
+    )
+
+
 def _cluster_leaf_closest(scene: Scene):
     """Vectorized leaf sweep for closest-hit queries: [N, Q*LEAF] tests, one
-    geometry row-gather per lane per leaf, gather-free row-min selection."""
+    geometry row-gather per lane per leaf, gather-free row-min selection.
+    With PYRITE_TPU_SWEEP_KERNEL set, the tests + winner select run as ONE
+    fused Pallas launch (kernels.sweep_closest) instead of ~20 dispatched
+    XLA ops on [N, Q*L] intermediates — same signature, hit-parity tested."""
+    if _sweep_kernel_ok(scene):
+        from . import kernels
+
+        def fused_sweep(leaf_ids, origin, direction, state, active):
+            return kernels.sweep_closest(
+                scene.arrays, scene.cluster_leaf, leaf_ids, active,
+                origin, direction, state,
+            )
+
+        return fused_sweep
 
     def leaf_sweep(leaf_ids, origin, direction, state, active):
         g, act = _leaf_geometry(scene, leaf_ids, active)
@@ -2437,6 +2495,17 @@ def _cluster_leaf_closest(scene: Scene):
 
 
 def _cluster_leaf_shadow(scene: Scene):
+    if _sweep_kernel_ok(scene):
+        from . import kernels
+
+        def fused_sweep(leaf_ids, origin, direction, state, active):
+            return kernels.sweep_shadow(
+                scene.arrays, scene.cluster_leaf, leaf_ids, active,
+                origin, direction, state,
+            )
+
+        return fused_sweep
+
     def leaf_sweep(leaf_ids, origin, direction, state, active):
         g, act = _leaf_geometry(scene, leaf_ids, active)
         o = origin[:, None, :]

@@ -375,6 +375,97 @@ def test_pallas_walk_matches_xla_walk():
     )
 
 
+def test_fused_sweep_in_xla_walk_matches_brute_force():
+    """The fused Pallas leaf sweep wired into the *XLA* walk's outer_body
+    (PYRITE_TPU_SWEEP_KERNEL=interpret; the walk itself stays the XLA pop
+    loop) must produce brute-force-identical closest hits and shadow
+    distances, including through the ray-compaction path."""
+    import os
+    import types
+
+    import jax.numpy as jnp
+    from pyrite_tpu import kernels, tracer
+    from pyrite_tpu.scene import PRIM_TRIANGLE, pack_wide_clusters
+
+    rng = np.random.default_rng(31)
+    num = 2500
+    v0 = rng.uniform(-5, 5, size=(num, 3)).astype(np.float32)
+    e1 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
+    e2 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+
+    _, _, _, _, _, perm = bvh_mod.build_bvh_clustered_python(lo, hi, 32)
+    geo = np.zeros((num, 12), np.float32)
+    geo[:, 0:3] = v0[perm]
+    geo[:, 3:6] = e1[perm]
+    geo[:, 6:9] = e2[perm]
+    geo[:, 10] = PRIM_TRIANGLE
+    geo[:, 11] = perm
+    rows, packed_geo = pack_wide_clusters(lo[perm], hi[perm], geo, tracer.CLUSTER_LEAF)
+    scene = types.SimpleNamespace(
+        cluster_slots=packed_geo.shape[0],
+        cluster_leaf=tracer.CLUSTER_LEAF,
+        arrays={
+            "wide_rows": jnp.asarray(rows),
+            "clu_geo": jnp.asarray(packed_geo),
+            "clu_geo_ch": jnp.asarray(kernels.pack_geo_channel_major(packed_geo)),
+        },
+    )
+
+    n_rays = 48
+    origins = rng.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    init = {
+        "t": jnp.full(n_rays, jnp.inf),
+        "kind": jnp.zeros(n_rays, jnp.int32),
+        "idx": jnp.zeros(n_rays, jnp.int32),
+        "u": jnp.zeros(n_rays),
+        "v": jnp.zeros(n_rays),
+    }
+    old = os.environ.get("PYRITE_TPU_SWEEP_KERNEL")
+    old_min = tracer.COMPACT_MIN
+    os.environ["PYRITE_TPU_SWEEP_KERNEL"] = "interpret"
+    try:
+        assert kernels.sweep_kernel_enabled() and not kernels.walk_enabled()
+        out = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs), init,
+            tracer._cluster_leaf_closest(scene),
+        )
+        # compacted sweeps too (default threshold needs >= 4096 lanes)
+        tracer.COMPACT_MIN = 16
+        out_c = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs), init,
+            tracer._cluster_leaf_closest(scene),
+        )
+        shadow = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs),
+            {"t": jnp.full(n_rays, jnp.inf)},
+            tracer._cluster_leaf_shadow(scene),
+        )
+    finally:
+        tracer.COMPACT_MIN = old_min
+        if old is None:
+            os.environ.pop("PYRITE_TPU_SWEEP_KERNEL", None)
+        else:
+            os.environ["PYRITE_TPU_SWEEP_KERNEL"] = old
+
+    ok, t, _, _ = geom.ray_triangle(
+        origins[:, None, :], dirs[:, None, :], v0[None], e1[None], e2[None]
+    )
+    t_all = np.where(np.asarray(ok), np.asarray(t), np.inf)
+    best_t = t_all.min(axis=1)
+    hit_rays = np.isfinite(best_t)
+    for result in (out, out_c):
+        np.testing.assert_allclose(np.asarray(result["t"]), best_t, rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(result["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
+        )
+    np.testing.assert_allclose(np.asarray(shadow["t"]), best_t, rtol=1e-5)
+
+
 def test_pallas_march_matches_xla_march():
     """The fused DE sphere-trace kernel (interpret mode on CPU) must match
     the XLA while-loop march on a quaternion-julia and a mandelbulb shape."""
