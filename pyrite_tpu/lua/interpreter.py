@@ -14,6 +14,15 @@ class LuaError(Exception):
     pass
 
 
+class _Goto(Exception):
+    """goto control transfer: propagates outward until a block containing
+    the target ::label:: catches it (Lua 5.2+ visibility: the label must be
+    in the current or an enclosing block)."""
+
+    def __init__(self, label):
+        self.label = label
+
+
 class _Break(Exception):
     pass
 
@@ -137,15 +146,88 @@ def is_truthy(value):
     return value is not None and value is not False
 
 
+class Coroutine:
+    """Lua coroutine over a Python thread with strict two-way handoff: the
+    resumer blocks until the coroutine yields/returns, and the coroutine
+    blocks until resumed — execution is never concurrent, so the (shared)
+    interpreter state needs no locking. mlua gives the reference the real
+    Lua coroutine library (project/mod.rs:35-58); a tree-walking interpreter
+    cannot suspend arbitrary native frames without its own stack, hence
+    threads."""
+
+    def __init__(self, interp, func):
+        import queue
+
+        self.interp = interp
+        self.func = func
+        self.status = "suspended"
+        self._to_co = queue.Queue()
+        self._from_co = queue.Queue()
+        self._thread = None
+
+    def _run(self, args):
+        self.interp._co_local.current = self
+        try:
+            result = self.interp.call(self.func, list(args))
+            self.status = "dead"
+            self._from_co.put(("return", result))
+        except LuaError as error:
+            self.status = "dead"
+            self._from_co.put(("error", str(error)))
+        except BaseException as error:  # never leave the resumer blocked
+            self.status = "dead"
+            self._from_co.put(("error", f"{type(error).__name__}: {error}"))
+
+    def resume(self, args):
+        import threading
+
+        if self.status == "dead":
+            return (False, "cannot resume dead coroutine")
+        if self.status != "suspended":
+            return (False, "cannot resume non-suspended coroutine")
+        prev = getattr(self.interp._co_local, "current", None)
+        if prev is not None:
+            prev.status = "normal"
+        self.status = "running"
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, args=(args,), daemon=True
+            )
+            self._thread.start()
+        else:
+            self._to_co.put(args)
+        kind, vals = self._from_co.get()
+        if prev is not None:
+            prev.status = "running"
+        self.interp._co_local.current = prev
+        if kind == "error":
+            return (False, vals)
+        return tuple([True] + list(vals))
+
+    def yield_(self, args):
+        self.status = "suspended"
+        self._from_co.put(("yield", list(args)))
+        sent = self._to_co.get()
+        self.status = "running"
+        self.interp._co_local.current = self
+        return tuple(sent)
+
+
 class Interpreter:
     def __init__(self, loader=None):
         """``loader(name)`` should return Lua source for require(), or None."""
+        import threading
+
         self.globals = LuaTable()
         self.loader = loader
         self._loaded = {}
+        self._co_local = threading.local()  # coroutine running on this thread
         from . import stdlib
 
         stdlib.install(self)
+
+    def current_coroutine(self):
+        return getattr(self._co_local, "current", None)
 
     # --- public API ---------------------------------------------------------
     def run(self, src: str, chunk_name: str = "?", varargs=()):
@@ -201,8 +283,19 @@ class Interpreter:
 
     # --- statements -----------------------------------------------------------
     def exec_block(self, stmts, env):
-        for stmt in stmts:
-            self.exec_stmt(stmt, env)
+        i = 0
+        n = len(stmts)
+        while i < n:
+            try:
+                self.exec_stmt(stmts[i], env)
+            except _Goto as g:
+                for j, s in enumerate(stmts):
+                    if s[0] == "label" and s[1] == g.label:
+                        i = j
+                        break
+                else:
+                    raise  # label not in this block: unwind to an enclosing one
+            i += 1
 
     def exec_stmt(self, stmt, env):
         op = stmt[0]
@@ -284,6 +377,10 @@ class Interpreter:
             raise _Return(values)
         elif op == "break":
             raise _Break()
+        elif op == "goto":
+            raise _Goto(stmt[1])
+        elif op == "label":
+            pass  # jump target only; exec_block scans for it
         else:
             raise LuaError(f"unknown statement {op}")
 

@@ -13,7 +13,8 @@ KEYWORDS = {
 # Longest-first so the scanner can greedily match.
 SYMBOLS = [
     "...", "..", ".", "==", "~=", "<=", ">=", "<", ">", "=", "+", "-", "*",
-    "//", "/", "%", "^", "#", "(", ")", "{", "}", "[", "]", ";", ":", ",",
+    "//", "/", "%", "^", "#", "(", ")", "{", "}", "[", "]", ";", "::", ":",
+    ",",
 ]
 
 

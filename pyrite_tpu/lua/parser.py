@@ -180,6 +180,14 @@ class Parser:
             if kw == "break":
                 self.next()
                 return ("break",)
+            if kw == "goto":
+                self.next()
+                return ("goto", self.expect("name").value)
+        if tok.kind == "symbol" and tok.value == "::":
+            self.next()
+            name = self.expect("name").value
+            self.expect("symbol", "::")
+            return ("label", name)
         # expression statement: call or assignment
         expr = self.parse_suffixed()
         if self.check("symbol", "=") or self.check("symbol", ","):

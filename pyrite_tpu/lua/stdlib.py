@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import math
 
-from .interpreter import LuaTable, LuaError, lua_tostring, is_truthy
+from .interpreter import Coroutine, LuaTable, LuaError, lua_tostring, is_truthy
 
 
 def install(interp):
@@ -24,6 +24,8 @@ def install(interp):
             return "string"
         if isinstance(value, LuaTable):
             return "table"
+        if isinstance(value, Coroutine):
+            return "thread"
         return "function"
 
     def _tostring(value=None):
@@ -134,6 +136,14 @@ def install(interp):
         except LuaError as e:
             return (False, str(e))
 
+    def _xpcall(func, handler, *args):
+        try:
+            result = interp.call(func, list(args))
+            return tuple([True] + result)
+        except LuaError as e:
+            handled = interp.call(handler, [str(e)])
+            return tuple([False] + handled)
+
     def _select(what, *args):
         if what == "#":
             return float(len(args))
@@ -162,6 +172,7 @@ def install(interp):
         "error": _error,
         "assert": _assert,
         "pcall": _pcall,
+        "xpcall": _xpcall,
         "select": _select,
         "unpack": _unpack,
     }.items():
@@ -191,6 +202,28 @@ def install(interp):
         "modf": lambda x: (float(int(x)), x - int(x)),
     }.items():
         math_table.set(name, fn)
+    # math.random mirrors the PUC-Lua surface: () -> [0,1), (m) -> [1,m],
+    # (m, n) -> [m,n]; the stream is per-interpreter (scene loads stay
+    # reproducible across runs via the fixed default seed)
+    import random as _random
+
+    rng = _random.Random(0)
+
+    def _math_random(m=None, n=None):
+        if m is None:
+            return rng.random()
+        m = int(m)
+        if n is None:
+            if m < 1:
+                raise LuaError("bad argument #1 to 'random' (interval is empty)")
+            return float(rng.randint(1, m))
+        n = int(n)
+        if m > n:
+            raise LuaError("bad argument #2 to 'random' (interval is empty)")
+        return float(rng.randint(m, n))
+
+    math_table.set("random", _math_random)
+    math_table.set("randomseed", lambda x=None: rng.seed(int(x) if x is not None else 0))
     math_table.set("pi", math.pi)
     math_table.set("huge", math.inf)
     g.set("math", math_table)
@@ -361,7 +394,193 @@ def install(interp):
         table_table.set(name, fn)
     g.set("table", table_table)
 
-    # os/package stubs ------------------------------------------------------
+    # coroutine ----------------------------------------------------------
+    # mlua embeds the full Lua VM (reference project/mod.rs:35-58), so
+    # arbitrary user scenes can drive generators/schedulers; Coroutine
+    # (interpreter.py) runs each on a handed-off thread.
+    def _co_create(func):
+        return Coroutine(interp, func)
+
+    def _co_resume(co, *args):
+        if not isinstance(co, Coroutine):
+            raise LuaError("bad argument #1 to 'resume' (coroutine expected)")
+        return co.resume(list(args))
+
+    def _co_yield(*args):
+        co = interp.current_coroutine()
+        if co is None:
+            raise LuaError("attempt to yield from outside a coroutine")
+        return co.yield_(list(args))
+
+    def _co_status(co):
+        return co.status
+
+    def _co_wrap(func):
+        co = Coroutine(interp, func)
+
+        def wrapped(*args):
+            result = co.resume(list(args))
+            if not result[0]:
+                raise LuaError(lua_tostring(result[1]))
+            return result[1:]
+
+        return wrapped
+
+    def _co_running():
+        co = interp.current_coroutine()
+        if co is None:
+            return (None, True)
+        return (co, False)
+
+    def _co_isyieldable():
+        return interp.current_coroutine() is not None
+
+    co_table = LuaTable()
+    for name, fn in {
+        "create": _co_create,
+        "resume": _co_resume,
+        "yield": _co_yield,
+        "status": _co_status,
+        "wrap": _co_wrap,
+        "running": _co_running,
+        "isyieldable": _co_isyieldable,
+    }.items():
+        co_table.set(name, fn)
+    g.set("coroutine", co_table)
+
+    # os -----------------------------------------------------------------
+    import os as _os
+    import time as _time
+
+    def _os_date(fmt=None, t=None):
+        fmt = fmt or "%c"
+        when = _time.localtime(t) if t is not None else _time.localtime()
+        if fmt.startswith("!"):
+            when = _time.gmtime(t) if t is not None else _time.gmtime()
+            fmt = fmt[1:]
+        if fmt.startswith("*t"):
+            out = LuaTable()
+            out.set("year", float(when.tm_year))
+            out.set("month", float(when.tm_mon))
+            out.set("day", float(when.tm_mday))
+            out.set("hour", float(when.tm_hour))
+            out.set("min", float(when.tm_min))
+            out.set("sec", float(when.tm_sec))
+            out.set("wday", float(when.tm_wday + 2 if when.tm_wday < 6 else 1))
+            out.set("yday", float(when.tm_yday))
+            out.set("isdst", bool(when.tm_isdst))
+            return out
+        return _time.strftime(fmt, when)
+
+    os_table = LuaTable()
+    for name, fn in {
+        "time": lambda t=None: float(_time.time()),
+        "clock": lambda: float(_time.process_time()),
+        "date": _os_date,
+        "difftime": lambda t2, t1=0.0: float(t2) - float(t1),
+        "getenv": lambda name: _os.environ.get(name),
+    }.items():
+        os_table.set(name, fn)
+    g.set("os", os_table)
+
+    # io -----------------------------------------------------------------
+    # file handles are tables with bound methods (scene scripts call
+    # f:read(...), f:write(...), f:lines(), f:close())
+    import sys as _sys
+
+    def _read_one(fh, what):
+        if isinstance(what, float):
+            data = fh.read(int(what))
+            return data if data else None
+        what = (what or "l").lstrip("*")
+        if what.startswith("a"):
+            return fh.read()
+        if what.startswith("n"):
+            word = fh.readline().strip()
+            try:
+                return float(word)
+            except ValueError:
+                return None
+        line = fh.readline()
+        if not line:
+            return None
+        if what.startswith("l"):
+            return line.rstrip("\n")
+        return line  # 'L': keep the newline
+
+    def _wrap_file(fh):
+        handle = LuaTable()
+
+        def f_read(_self, *whats):
+            if not whats:
+                return _read_one(fh, "l")
+            return tuple(_read_one(fh, w) for w in whats)
+
+        def f_write(_self, *parts):
+            for p in parts:
+                fh.write(p if isinstance(p, str) else lua_tostring(p))
+            return handle
+
+        def f_lines(_self=None):
+            def iterator(_state=None, _control=None):
+                line = fh.readline()
+                return line.rstrip("\n") if line else None
+
+            return iterator
+
+        def f_close(_self=None):
+            fh.close()
+            return True
+
+        def f_seek(_self, whence=None, offset=None):
+            whence = whence or "cur"
+            offset = int(offset) if offset is not None else 0
+            fh.seek(offset, {"set": 0, "cur": 1, "end": 2}[whence])
+            return float(fh.tell())
+
+        handle.set("read", f_read)
+        handle.set("write", f_write)
+        handle.set("lines", f_lines)
+        handle.set("close", f_close)
+        handle.set("seek", f_seek)
+        return handle
+
+    def _io_open(path, mode=None):
+        mode = (mode or "r").replace("b", "") + ("b" if "b" in (mode or "") else "")
+        try:
+            fh = open(path, mode or "r")
+        except OSError as error:
+            return (None, f"{path}: {error.strerror}")
+        return _wrap_file(fh)
+
+    def _io_lines(path=None):
+        if path is None:
+            return _wrap_file(_sys.stdin).get("lines")(None)
+        fh = open(path, "r")
+        table = _wrap_file(fh)
+
+        def iterator(_state=None, _control=None):
+            line = fh.readline()
+            if not line:
+                fh.close()
+                return None
+            return line.rstrip("\n")
+
+        return iterator
+
+    def _io_write(*parts):
+        _sys.stdout.write(
+            "".join(p if isinstance(p, str) else lua_tostring(p) for p in parts)
+        )
+
+    io_table = LuaTable()
+    io_table.set("write", _io_write)
+    io_table.set("read", lambda *whats: _read_one(_sys.stdin, whats[0] if whats else "l"))
+    io_table.set("open", _io_open)
+    io_table.set("lines", _io_lines)
+    g.set("io", io_table)
+
+    # package ------------------------------------------------------------
     package = LuaTable()
     package.set("path", "./?.lua")
     g.set("package", package)

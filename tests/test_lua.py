@@ -160,3 +160,128 @@ def test_string_patterns_backref_and_quantifiers():
         """
     )
     assert out == ["abc", "a", "a><b", "color", "a/b/c", 2.0, 2.0]
+
+
+def test_goto_and_labels():
+    # forward jump (loop continue idiom) and backward jump
+    out = run(
+        """
+        local sum = 0
+        for i = 1, 10 do
+            if i % 2 == 0 then goto continue end
+            sum = sum + i
+            ::continue::
+        end
+        -- backward goto: retry loop without while
+        local tries = 0
+        ::again::
+        tries = tries + 1
+        if tries < 3 then goto again end
+        return sum, tries
+        """
+    )
+    assert out == [25.0, 3.0]
+
+
+def test_goto_out_of_nested_block():
+    out = run(
+        """
+        local hit = "no"
+        do
+            do
+                goto done
+            end
+        end
+        hit = "skipped"
+        ::done::
+        return hit
+        """
+    )
+    assert out == ["no"]
+
+
+def test_coroutines_basic():
+    out = run(
+        """
+        local co = coroutine.create(function(a, b)
+            local c = coroutine.yield(a + b)
+            local d, e = coroutine.yield(c * 2)
+            return d + e
+        end)
+        local ok1, v1 = coroutine.resume(co, 3, 4)   -- yields 7
+        local ok2, v2 = coroutine.resume(co, 10)     -- yields 20
+        local ok3, v3 = coroutine.resume(co, 1, 2)   -- returns 3
+        local st = coroutine.status(co)
+        local okd = coroutine.resume(co)             -- dead
+        return ok1, v1, ok2, v2, ok3, v3, st, okd
+        """
+    )
+    assert out == [True, 7.0, True, 20.0, True, 3.0, "dead", False]
+
+
+def test_coroutine_wrap_generator():
+    out = run(
+        """
+        local gen = coroutine.wrap(function()
+            for i = 1, 4 do coroutine.yield(i * i) end
+        end)
+        local sum = 0
+        for _ = 1, 4 do sum = sum + gen() end
+        return sum, type(coroutine.create(function() end))
+        """
+    )
+    assert out == [30.0, "thread"]
+
+
+def test_coroutine_error_propagates_to_resume():
+    out = run(
+        """
+        local co = coroutine.create(function() error("boom") end)
+        local ok, msg = coroutine.resume(co)
+        return ok, msg, coroutine.status(co)
+        """
+    )
+    assert out[0] is False
+    assert "boom" in out[1]
+    assert out[2] == "dead"
+
+
+def test_io_os_stdlib(tmp_path):
+    path = str(tmp_path / "f.txt")
+    out = run(
+        """
+        local path = %r
+        local f = io.open(path, "w")
+        f:write("alpha\\n", 42, "\\nbeta\\n")
+        f:close()
+        local r = io.open(path, "r")
+        local first = r:read()
+        local rest = r:read("*a")
+        r:close()
+        local count = 0
+        for _ in io.lines(path) do count = count + 1 end
+        local missing = io.open(path .. ".nope", "r")
+        return first, rest, count, missing == nil,
+            os.time() > 0, os.clock() >= 0, type(os.date("*t")) == "table",
+            os.difftime(5, 2)
+        """
+        % path
+    )
+    assert out == ["alpha", "42\nbeta\n", 3.0, True, True, True, True, 3.0]
+
+
+def test_math_random_and_xpcall():
+    out = run(
+        """
+        math.randomseed(7)
+        local a = math.random()
+        local b = math.random(10)
+        local c = math.random(5, 6)
+        local ok, handled = xpcall(function() error("x") end,
+                                   function(m) return "H:" .. m end)
+        return a >= 0 and a < 1, b >= 1 and b <= 10, c >= 5 and c <= 6,
+            ok, handled
+        """
+    )
+    assert out[:4] == [True, True, True, False]
+    assert out[4].startswith("H:")
