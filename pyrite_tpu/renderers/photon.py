@@ -405,13 +405,19 @@ def _build_parts(project_data, scene: Scene):
 
     # camera partialR wavelength grid for interpolating R(lambda) at
     # arbitrary pair wavelengths: as fine as the film bin grid, halved until
-    # the [N, bounces, S + G] record buffer stays within budget
+    # the [N, bounces, S + G] record buffer stays within budget. At 64 grid
+    # points over the default span the measured deviation from exact chain
+    # re-evaluation is p95 < 1e-6, max ~0.5% on a wiggly measured-style
+    # spectrum (tests/test_renderers.py interpolation-error test; each
+    # density halving costs ~4x), so the budget is sized to keep 64 points
+    # even at 1024x512 films (512k lanes x 8 bounces x 74 cols = 310M
+    # floats = 1.2 GB f32 of record buffer on a 16 GB chip).
     n_lanes = project.image.width * project.image.height
     g_bins = b_bins
     while (
         g_bins > 8
         and n_lanes * max(settings.bounces, 1) * (settings.spectrum_samples + g_bins)
-        > 200_000_000
+        > 400_000_000
     ):
         g_bins //= 2
     grid_centers = jnp.asarray(

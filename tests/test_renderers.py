@@ -235,8 +235,11 @@ def test_photon_partialR_grid_interpolation_error(tmp_path):
         if big.any():
             errs.append(np.abs(approx - exact)[big] / exact[big])
     rel = np.concatenate(errs)
-    assert np.percentile(rel, 95) < 0.02, f"p95 interp err {np.percentile(rel, 95):.4f}"
-    assert rel.max() < 0.10, f"max interp err {rel.max():.4f}"
+    # measured at the default 64-point grid: p95 ~1e-7, max ~0.53% (round 4;
+    # each grid-density halving costs ~4x, and photon.render's memory budget
+    # keeps 64 points up to 1024x512 films)
+    assert np.percentile(rel, 95) < 0.005, f"p95 interp err {np.percentile(rel, 95):.4f}"
+    assert rel.max() < 0.01, f"max interp err {rel.max():.4f}"
 
 
 def test_photon_mapping_runs_and_produces_light(tmp_path):
