@@ -252,7 +252,7 @@ def _regen_bench_loop(scene_path, spp, reps):
     }
 
 
-def bench_simple_regen(scene_path, spp=160, reps=3, stats=False):
+def bench_simple_regen(scene_path, spp=640, reps=3, stats=False):
     """Steady-state Mrays/s of the path-regeneration scheduler (the simple
     renderer's default path for dense scenes): dead lanes restart a fresh
     sample in place and per-lane quotas are depth-balanced, so occupancy
@@ -568,13 +568,14 @@ def main():
             "unit": "seconds",
         }
 
-    # importance order: the open round-2/3 targets (cornell, terrain) before
-    # the corroborating entries; dragon before the cheap spheres re-runs
-    # because its number has never landed in a driver artifact.
+    # importance order: the open round-2/3 targets (cornell, terrain) first,
+    # then dragon (its rate has never landed in a driver artifact) ahead of
+    # the corroborating re-runs (diamonds/one-shot/time-to-noise recorded in
+    # earlier rounds).
     entry("cornell bdpt spp/sec", 240, cornell_entry)
     entry("terrain Mrays/sec", 240, terrain_entry)
-    entry("diamonds spp/sec", 180, diamonds_entry)
     entry("dragon-class bdpt spp/sec", 300, dragon_entry)
+    entry("diamonds spp/sec", 180, diamonds_entry)
     entry("one-shot spheres Mrays/sec", 120, oneshot_entry)
     entry("time-to-noise seconds", 120, ttn_entry)
 

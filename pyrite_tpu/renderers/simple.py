@@ -576,11 +576,16 @@ def _render_regen(
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
     if spp_chunk is None:
         # per-LANE quota target per launch. Bigger launches amortize what
-        # the soft tail doesn't cover (series6, spheres live Mrays/s: 40.4
-        # at lane-chunk 4, 105.9 at lane-chunk ~37; terrain 1.125 at 64);
-        # kept below the whole budget so previews/checkpoints still land
-        # between launches
-        spp_chunk = 64 if (scene.use_clusters or cfg.bounces >= POOL_MIN_BOUNCES) else 40
+        # the soft tail doesn't cover. Round-4 A/B with the shared-done
+        # regen body, spheres live Mrays/s: 110.7 at lane-chunk 40, 123.0
+        # at 80, 135.9 at 160, 145.7 at 320 — still rising, but 160 keeps
+        # a launch ~6 s so previews/checkpoints land between launches
+        # (the reference spheres workload is 150 samples/lane anyway, one
+        # full launch). Cluster scenes measured flat past 64 (terrain
+        # 1.165 at 128 vs 1.14 at 64: the walk, not the tail, is the
+        # bound), and deep-bounce scenes keep shorter launches for the
+        # same watchdog/preview reasons.
+        spp_chunk = 64 if (scene.use_clusters or cfg.bounces >= POOL_MIN_BOUNCES) else 160
     base_key = jax.random.PRNGKey(seed)
     order = chunk_order(chunks)
     pix = rows * film.width
