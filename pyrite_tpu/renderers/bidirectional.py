@@ -1633,6 +1633,17 @@ def pick_rows_per_chunk(
 
 
 def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
+    # the fused leaf sweep is blocked for every walk traced inside a BDPT
+    # drive: the dragon-class stacked camera walk crashed the TPU worker
+    # with the Mosaic sweep in its loop nest (round-4 bench; tracer.
+    # block_sweep_kernel docstring)
+    from ..tracer import block_sweep_kernel
+
+    with block_sweep_kernel():
+        return _render(project_data, scene, seed, on_progress, max_samples, resume)
+
+
+def _render(project_data, scene, seed, on_progress, max_samples, resume):
     project = project_data.project
     settings = project.renderer
     film = Film(
@@ -1904,6 +1915,13 @@ def _render_regen_bdpt_sharded(
 
 
 def render_sharded(project_data, scene: Scene, mesh, seed: int = 0, on_progress=None, max_samples=None, resume=None):
+    from ..tracer import block_sweep_kernel
+
+    with block_sweep_kernel():
+        return _render_sharded_impl(project_data, scene, mesh, seed, on_progress, max_samples, resume)
+
+
+def _render_sharded_impl(project_data, scene, mesh, seed, on_progress, max_samples, resume):
     """Multi-device BDPT: samples sharded over the mesh exactly like the
     simple renderer — the per-chunk step is already a pure film-delta
     function, so it lifts unchanged (reference runs all algorithms through

@@ -2426,6 +2426,30 @@ def _leaf_geometry(scene: Scene, leaf_ids, active):
     return g, act
 
 
+# Renderers whose loop nests crash the Mosaic sweep set this while their
+# steps trace (bidirectional.render: the dragon-class 20/256-bounce stacked
+# camera walk crashed the TPU worker with the sweep kernel inside it —
+# round-4 bench; the same crash class as the fetch kernel in fori x while
+# nests). The simple renderer's walks run the kernel clean.
+_SWEEP_KERNEL_BLOCKED = False
+
+
+class block_sweep_kernel:
+    """Context manager: disable the fused leaf sweep for walks traced
+    within (used around whole render drives, so every jit trace inside
+    picks the XLA sweep)."""
+
+    def __enter__(self):
+        global _SWEEP_KERNEL_BLOCKED
+        self._prev = _SWEEP_KERNEL_BLOCKED
+        _SWEEP_KERNEL_BLOCKED = True
+
+    def __exit__(self, *exc):
+        global _SWEEP_KERNEL_BLOCKED
+        _SWEEP_KERNEL_BLOCKED = self._prev
+        return False
+
+
 def _sweep_kernel_ok(scene: Scene) -> bool:
     """Gate for the fused Pallas leaf sweep inside the XLA walk: the
     channel-major sheet must exist and Mosaic needs 128-divisible leaf
@@ -2433,7 +2457,8 @@ def _sweep_kernel_ok(scene: Scene) -> bool:
     from . import kernels
 
     return (
-        kernels.sweep_kernel_enabled()
+        not _SWEEP_KERNEL_BLOCKED
+        and kernels.sweep_kernel_enabled()
         and "clu_geo_ch" in scene.arrays
         and scene.cluster_leaf % 128 == 0
     )
