@@ -62,26 +62,38 @@ def pad_rows(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+def walk_mode() -> str:
+    return os.environ.get("PYRITE_TPU_PALLAS", "auto")
+
+
 def walk_enabled() -> bool:
-    """Fused-walk opt-in. Measured on the 328k-tri terrain (v5e), the
-    kernel path loses to the XLA pop loop (0.33 vs 0.57 Mrays/s live with
+    """Fused-walk opt-in. Measured on the 328k-tri terrain (v5e), the FULL
+    kernel path (PYRITE_TPU_PALLAS=1: walk kernel + full-width masked
+    sweeps) loses to the XLA pop loop (0.33 vs 0.57 Mrays/s live with
     SAH-treelet clusters): the walk itself is ~10x cheaper in-kernel, but
     the full-width leaf-sheet gathers between kernel calls (~786 MB/round
-    written by the XLA gather and re-read by the sweep kernel) outweigh it,
-    and leaf sweeps cannot move on-chip (no per-lane HBM gather in Mosaic).
-    PYRITE_TPU_PALLAS=1 enables it on TPU; =interpret runs it everywhere in
-    interpreter mode (used by the parity tests)."""
-    mode = os.environ.get("PYRITE_TPU_PALLAS", "auto")
+    written by the XLA gather and re-read by the sweep kernel) outweigh it.
+    PYRITE_TPU_PALLAS=hybrid keeps the in-kernel pops but sweeps a
+    COMPACTED lane prefix (tracer.outer_body_hybrid) — the round-4 attack
+    on exactly that gather. =interpret / =hybrid-interpret run the
+    respective paths everywhere in interpreter mode (parity tests)."""
+    mode = walk_mode()
     if mode in ("0", "auto"):
         return False
-    if mode == "interpret":
+    if "interpret" in mode:
         return True
     return jax.default_backend() == "tpu"
 
 
+def walk_hybrid() -> bool:
+    """Hybrid fused walk: in-kernel pops (walk_collect) + compacted
+    sweeps. See walk_enabled."""
+    return "hybrid" in walk_mode()
+
+
 def _interpret() -> bool:
     return (
-        os.environ.get("PYRITE_TPU_PALLAS", "auto") == "interpret"
+        "interpret" in walk_mode()
         or os.environ.get("PYRITE_TPU_SWEEP_KERNEL", "0") == "interpret"
     )
 

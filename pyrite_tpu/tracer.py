@@ -2249,6 +2249,78 @@ def _cluster_traverse(
             m2 = jnp.where(done, 0, m2)
         return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
+    # hybrid fused walk (PYRITE_TPU_PALLAS=hybrid): in-kernel pops, but the
+    # sweep runs over a COMPACTED lane prefix like the XLA walk — the full
+    # path's loss was the full-width leaf-sheet gather, not the walk. Leaf
+    # buffers [n, WALK_LEAVES] become loop state: a lane that walked parks
+    # its collected leaves and waits for sweep capacity (its masks are
+    # frozen meanwhile), a swept lane clears its whole buffer at once.
+    hybrid = use_pallas and kernels.walk_hybrid() and compact
+    q_walk = kernels.WALK_LEAVES
+    width_h = min(
+        n // COMPACT_DIV,
+        max(COMPACT_MIN, SWEEP_GATHER_BUDGET // (q_walk * scene.cluster_leaf * 48)),
+    )
+
+    def outer_cond_hybrid(carry):
+        m0, m1, m2 = carry[0], carry[1], carry[2]
+        buf_act = carry[13]
+        return jnp.any((m0 | m1 | m2) != 0) | jnp.any(buf_act)
+
+    def outer_body_hybrid(carry):
+        (m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state,
+         buf_ids, buf_act) = carry
+        buffered = jnp.any(buf_act, axis=1)
+        # only buffer-free lanes walk: zero their masks into the kernel and
+        # restore untouched state for the parked lanes afterwards
+        m0n, m1n, m2n, cur1n, cur2n, ph1n, ph2n, leaf_new = kernels.walk_collect(
+            scene.arrays["wide_rows_pad"], origin, direction, state["t"],
+            jnp.where(buffered, 0, m0), jnp.where(buffered, 0, m1),
+            jnp.where(buffered, 0, m2), cur1, cur2, ph0, ph1, ph2,
+        )
+        m0 = jnp.where(buffered, m0, m0n)
+        m1 = jnp.where(buffered, m1, m1n)
+        m2 = jnp.where(buffered, m2, m2n)
+        cur1 = jnp.where(buffered, cur1, cur1n)
+        cur2 = jnp.where(buffered, cur2, cur2n)
+        ph1 = jnp.where(buffered, ph1, ph1n)
+        ph2 = jnp.where(buffered, ph2, ph2n)
+        bc = buffered[:, None]
+        buf_ids = jnp.where(bc, buf_ids, jnp.clip(leaf_new, 0, max_slot))
+        buf_act = jnp.where(bc, buf_act, leaf_new >= 0)
+
+        # compacted sweep: first width_h buffer-holding lanes this round
+        at_leaf = jnp.any(buf_act, axis=1)
+        pos = jnp.cumsum(at_leaf) - 1
+        swept = at_leaf & (pos < width_h)
+        sel = (
+            jnp.zeros(width_h, jnp.int32)
+            .at[jnp.where(swept, pos, width_h)]
+            .set(lane_ids, mode="drop")
+        )
+        n_swept = jnp.minimum(jnp.sum(at_leaf), width_h)
+        valid = jnp.arange(width_h) < n_swept
+        sub_state = jax.tree_util.tree_map(lambda x: x[sel], state)
+        updated = leaf_sweep(
+            buf_ids[sel], origin[sel], direction[sel], sub_state,
+            buf_act[sel] & valid[:, None],
+        )
+        back = jnp.where(valid, sel, n)
+        state = jax.tree_util.tree_map(
+            lambda old, new: old.at[back].set(new, mode="drop"), state, updated
+        )
+        buf_act = buf_act & ~swept[:, None]
+        if exit_below is not None:
+            done = state["t"] < exit_below
+            m0 = jnp.where(done, 0, m0)
+            m1 = jnp.where(done, 0, m1)
+            m2 = jnp.where(done, 0, m2)
+            buf_act = buf_act & ~done[:, None]
+        return (
+            m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state,
+            buf_ids, buf_act,
+        )
+
     # fused pop kernel: one dispatch for fetch+slab+sign per pop, no HBM
     # one-hot intermediate (kernels.fetch_slab; A/B knob)
     use_fetch_kernel = (
@@ -2408,6 +2480,15 @@ def _cluster_traverse(
             m2b = jnp.where(done, 0, m2b)
         return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
+    if hybrid:
+        carry = jax.lax.while_loop(
+            outer_cond_hybrid, outer_body_hybrid,
+            carry0 + (
+                jnp.zeros((n, q_walk), jnp.int32),
+                jnp.zeros((n, q_walk), bool),
+            ),
+        )
+        return carry[11]
     carry = jax.lax.while_loop(
         outer_cond, outer_body_pallas if use_pallas else outer_body, carry0
     )

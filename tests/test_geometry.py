@@ -375,6 +375,93 @@ def test_pallas_walk_matches_xla_walk():
     )
 
 
+def test_hybrid_walk_matches_brute_force():
+    """The hybrid fused walk (PYRITE_TPU_PALLAS=hybrid-interpret: in-kernel
+    pops + compacted sweeps with carried leaf buffers) must produce
+    brute-force-identical closest hits and shadow distances. COMPACT_MIN is
+    forced down so the 48-ray batch exercises the buffer-parking rounds
+    (width 6 lanes per sweep)."""
+    import os
+    import types
+
+    import jax.numpy as jnp
+    from pyrite_tpu import kernels, tracer
+    from pyrite_tpu.scene import PRIM_TRIANGLE, pack_wide_clusters
+
+    rng = np.random.default_rng(41)
+    num = 2500
+    v0 = rng.uniform(-5, 5, size=(num, 3)).astype(np.float32)
+    e1 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
+    e2 = rng.normal(scale=0.4, size=(num, 3)).astype(np.float32)
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+
+    _, _, _, _, _, perm = bvh_mod.build_bvh_clustered_python(lo, hi, 32)
+    geo = np.zeros((num, 12), np.float32)
+    geo[:, 0:3] = v0[perm]
+    geo[:, 3:6] = e1[perm]
+    geo[:, 6:9] = e2[perm]
+    geo[:, 10] = PRIM_TRIANGLE
+    geo[:, 11] = perm
+    rows, packed_geo = pack_wide_clusters(lo[perm], hi[perm], geo, tracer.CLUSTER_LEAF)
+    scene = types.SimpleNamespace(
+        cluster_slots=packed_geo.shape[0],
+        cluster_leaf=tracer.CLUSTER_LEAF,
+        arrays={
+            "wide_rows": jnp.asarray(rows),
+            "clu_geo": jnp.asarray(packed_geo),
+            "wide_rows_pad": jnp.asarray(kernels.pad_rows(rows)),
+            "clu_geo_ch": jnp.asarray(kernels.pack_geo_channel_major(packed_geo)),
+        },
+    )
+
+    n_rays = 48
+    origins = rng.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    init = {
+        "t": jnp.full(n_rays, jnp.inf),
+        "kind": jnp.zeros(n_rays, jnp.int32),
+        "idx": jnp.zeros(n_rays, jnp.int32),
+        "u": jnp.zeros(n_rays),
+        "v": jnp.zeros(n_rays),
+    }
+    old = os.environ.get("PYRITE_TPU_PALLAS")
+    old_min = tracer.COMPACT_MIN
+    os.environ["PYRITE_TPU_PALLAS"] = "hybrid-interpret"
+    tracer.COMPACT_MIN = 16
+    try:
+        assert kernels.walk_enabled() and kernels.walk_hybrid()
+        out = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs), init,
+            tracer._cluster_leaf_closest(scene),
+        )
+        shadow = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs),
+            {"t": jnp.full(n_rays, jnp.inf)},
+            tracer._cluster_leaf_shadow(scene),
+        )
+    finally:
+        tracer.COMPACT_MIN = old_min
+        if old is None:
+            os.environ.pop("PYRITE_TPU_PALLAS", None)
+        else:
+            os.environ["PYRITE_TPU_PALLAS"] = old
+
+    ok, t, _, _ = geom.ray_triangle(
+        origins[:, None, :], dirs[:, None, :], v0[None], e1[None], e2[None]
+    )
+    t_all = np.where(np.asarray(ok), np.asarray(t), np.inf)
+    best_t = t_all.min(axis=1)
+    hit_rays = np.isfinite(best_t)
+    np.testing.assert_allclose(np.asarray(out["t"]), best_t, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
+    )
+    np.testing.assert_allclose(np.asarray(shadow["t"]), best_t, rtol=1e-5)
+
+
 def test_fused_sweep_in_xla_walk_matches_brute_force():
     """The fused Pallas leaf sweep wired into the *XLA* walk's outer_body
     (PYRITE_TPU_SWEEP_KERNEL=interpret; the walk itself stays the XLA pop
