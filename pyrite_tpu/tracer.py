@@ -2249,12 +2249,18 @@ def _cluster_traverse(
             m2 = jnp.where(done, 0, m2)
         return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
-    # hybrid fused walk (PYRITE_TPU_PALLAS=hybrid): in-kernel pops, but the
-    # sweep runs over a COMPACTED lane prefix like the XLA walk — the full
-    # path's loss was the full-width leaf-sheet gather, not the walk. Leaf
-    # buffers [n, WALK_LEAVES] become loop state: a lane that walked parks
-    # its collected leaves and waits for sweep capacity (its masks are
-    # frozen meanwhile), a swept lane clears its whole buffer at once.
+    # hybrid fused walk (PYRITE_TPU_PALLAS=hybrid): BOTH the pops and the
+    # sweeps run compacted. The whole loop state rides as ONE packed
+    # [n, C] f32 sheet (every column is f32-exact: masks <= 2^16, node
+    # cursors <= 272, leaf ids < slots, bool flags); each outer iteration
+    # gathers the first `width_h` working lanes (one row-gather), sweeps
+    # their buffered leaves (fused kernel), walks THOSE lanes to refill
+    # their buffers (walk_collect at width — in-kernel pops with the
+    # post-sweep t pruning), and scatters the rebuilt rows back (one
+    # scatter). A v1 that walked at FULL width every iteration measured
+    # 0.52 Mrays/s on terrain (the walk kernel's one-hot row fetches cost
+    # O(n x ROWS_PAD x 128) per call, paid 8x too often while lanes
+    # parked); compacting the walk removes exactly that.
     hybrid = use_pallas and kernels.walk_hybrid() and compact
     q_walk = kernels.WALK_LEAVES
     width_h = min(
@@ -2262,64 +2268,111 @@ def _cluster_traverse(
         max(COMPACT_MIN, SWEEP_GATHER_BUDGET // (q_walk * scene.cluster_leaf * 48)),
     )
 
-    def outer_cond_hybrid(carry):
-        m0, m1, m2 = carry[0], carry[1], carry[2]
-        buf_act = carry[13]
-        return jnp.any((m0 | m1 | m2) != 0) | jnp.any(buf_act)
+    # packed-sheet column layout: [o(3) d(3) m0 m1 m2 cur1 cur2 ph0 ph1 ph2
+    # buf_ids(Q) buf_act(Q) state(S)]
+    _HB_MASKS = 6
+    _HB_BUF = _HB_MASKS + 8
+    _HB_STATE = _HB_BUF + 2 * q_walk
 
-    def outer_body_hybrid(carry):
-        (m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state,
-         buf_ids, buf_act) = carry
-        buffered = jnp.any(buf_act, axis=1)
-        # only buffer-free lanes walk: zero their masks into the kernel and
-        # restore untouched state for the parked lanes afterwards
-        m0n, m1n, m2n, cur1n, cur2n, ph1n, ph2n, leaf_new = kernels.walk_collect(
-            scene.arrays["wide_rows_pad"], origin, direction, state["t"],
-            jnp.where(buffered, 0, m0), jnp.where(buffered, 0, m1),
-            jnp.where(buffered, 0, m2), cur1, cur2, ph0, ph1, ph2,
+    def _hb_sheet0():
+        return jnp.concatenate(
+            [
+                ray6,
+                jnp.stack(
+                    [
+                        m0.astype(jnp.float32),
+                        jnp.zeros(n), jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                        ph0.astype(jnp.float32),
+                        jnp.zeros(n), jnp.zeros(n),
+                    ],
+                    axis=1,
+                ),
+                jnp.zeros((n, q_walk)),  # buf_ids
+                jnp.zeros((n, q_walk)),  # buf_act
+                pack_state(init_state),
+            ],
+            axis=1,
         )
-        m0 = jnp.where(buffered, m0, m0n)
-        m1 = jnp.where(buffered, m1, m1n)
-        m2 = jnp.where(buffered, m2, m2n)
-        cur1 = jnp.where(buffered, cur1, cur1n)
-        cur2 = jnp.where(buffered, cur2, cur2n)
-        ph1 = jnp.where(buffered, ph1, ph1n)
-        ph2 = jnp.where(buffered, ph2, ph2n)
-        bc = buffered[:, None]
-        buf_ids = jnp.where(bc, buf_ids, jnp.clip(leaf_new, 0, max_slot))
-        buf_act = jnp.where(bc, buf_act, leaf_new >= 0)
 
-        # compacted sweep: first width_h buffer-holding lanes this round
-        at_leaf = jnp.any(buf_act, axis=1)
-        pos = jnp.cumsum(at_leaf) - 1
-        swept = at_leaf & (pos < width_h)
+    def outer_cond_hybrid(sheet):
+        masks = sheet[:, _HB_MASKS : _HB_MASKS + 3]
+        bufs = sheet[:, _HB_BUF + q_walk : _HB_BUF + 2 * q_walk]
+        return jnp.any(masks != 0) | jnp.any(bufs != 0)
+
+    def outer_body_hybrid(sheet):
+        masks_any = jnp.any(sheet[:, _HB_MASKS : _HB_MASKS + 3] != 0, axis=1)
+        bufs_any = jnp.any(
+            sheet[:, _HB_BUF + q_walk : _HB_BUF + 2 * q_walk] != 0, axis=1
+        )
+        work = masks_any | bufs_any
+        pos = jnp.cumsum(work) - 1
+        taken = work & (pos < width_h)
         sel = (
             jnp.zeros(width_h, jnp.int32)
-            .at[jnp.where(swept, pos, width_h)]
+            .at[jnp.where(taken, pos, width_h)]
             .set(lane_ids, mode="drop")
         )
-        n_swept = jnp.minimum(jnp.sum(at_leaf), width_h)
-        valid = jnp.arange(width_h) < n_swept
-        sub_state = jax.tree_util.tree_map(lambda x: x[sel], state)
-        updated = leaf_sweep(
-            buf_ids[sel], origin[sel], direction[sel], sub_state,
-            buf_act[sel] & valid[:, None],
+        n_sel = jnp.minimum(jnp.sum(work), width_h)
+        valid = jnp.arange(width_h) < n_sel
+
+        sub = sheet[sel]  # ONE gather moves rays+masks+buffers+state
+        o_s = sub[:, 0:3]
+        d_s = sub[:, 3:6]
+        mi = lambda c: sub[:, _HB_MASKS + c].astype(jnp.int32)
+        bi = lambda q: sub[:, _HB_BUF + q].astype(jnp.int32)
+        ba = lambda q: sub[:, _HB_BUF + q_walk + q] > 0.5
+        st_sub = unpack_state(sub[:, _HB_STATE:])
+
+        # 1) sweep the selected lanes' buffered leaves (fused kernel)
+        b_ids = jnp.stack([bi(q) for q in range(q_walk)], axis=1)
+        b_act = jnp.stack([ba(q) for q in range(q_walk)], axis=1) & valid[:, None]
+        updated = leaf_sweep(b_ids, o_s, d_s, st_sub, b_act)
+        had_leaf = jnp.any(b_act, axis=1)
+        st_sub = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(had_leaf, new, old), updated, st_sub
+        )
+
+        # 2) walk the same lanes to refill their buffers (post-sweep t)
+        m0n, m1n, m2n, cur1n, cur2n, ph1n, ph2n, leaf_new = kernels.walk_collect(
+            scene.arrays["wide_rows_pad"], o_s, d_s, st_sub["t"],
+            mi(0), mi(1), mi(2), mi(3), mi(4),
+            sub[:, _HB_MASKS + 5] > 0.5,
+            sub[:, _HB_MASKS + 6] > 0.5,
+            sub[:, _HB_MASKS + 7] > 0.5,
+        )
+        new_act = (leaf_new >= 0) & valid[:, None]
+        new_ids = jnp.clip(leaf_new, 0, max_slot)
+        if exit_below is not None:
+            done = st_sub["t"] < exit_below
+            m0n = jnp.where(done, 0, m0n)
+            m1n = jnp.where(done, 0, m1n)
+            m2n = jnp.where(done, 0, m2n)
+            new_act = new_act & ~done[:, None]
+
+        sub2 = jnp.concatenate(
+            [
+                o_s, d_s,
+                jnp.stack(
+                    [
+                        m0n.astype(jnp.float32),
+                        m1n.astype(jnp.float32),
+                        m2n.astype(jnp.float32),
+                        cur1n.astype(jnp.float32),
+                        cur2n.astype(jnp.float32),
+                        sub[:, _HB_MASKS + 5],
+                        ph1n.astype(jnp.float32),
+                        ph2n.astype(jnp.float32),
+                    ],
+                    axis=1,
+                ),
+                new_ids.astype(jnp.float32),
+                new_act.astype(jnp.float32),
+                pack_state(st_sub),
+            ],
+            axis=1,
         )
         back = jnp.where(valid, sel, n)
-        state = jax.tree_util.tree_map(
-            lambda old, new: old.at[back].set(new, mode="drop"), state, updated
-        )
-        buf_act = buf_act & ~swept[:, None]
-        if exit_below is not None:
-            done = state["t"] < exit_below
-            m0 = jnp.where(done, 0, m0)
-            m1 = jnp.where(done, 0, m1)
-            m2 = jnp.where(done, 0, m2)
-            buf_act = buf_act & ~done[:, None]
-        return (
-            m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state,
-            buf_ids, buf_act,
-        )
+        return sheet.at[back].set(sub2, mode="drop")
 
     # fused pop kernel: one dispatch for fetch+slab+sign per pop, no HBM
     # one-hot intermediate (kernels.fetch_slab; A/B knob)
@@ -2481,14 +2534,10 @@ def _cluster_traverse(
         return m0, m1, m2, cur1, cur2, ph0, ph1, ph2, m2b, cur2b, ph2b, state
 
     if hybrid:
-        carry = jax.lax.while_loop(
-            outer_cond_hybrid, outer_body_hybrid,
-            carry0 + (
-                jnp.zeros((n, q_walk), jnp.int32),
-                jnp.zeros((n, q_walk), bool),
-            ),
+        sheet = jax.lax.while_loop(
+            outer_cond_hybrid, outer_body_hybrid, _hb_sheet0()
         )
-        return carry[11]
+        return unpack_state(sheet[:, _HB_STATE:])
     carry = jax.lax.while_loop(
         outer_cond, outer_body_pallas if use_pallas else outer_body, carry0
     )
