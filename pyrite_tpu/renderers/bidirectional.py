@@ -1523,6 +1523,14 @@ def _render_regen_bdpt(
             acc, wt, _, _ = st["cam"](
                 acc, wt, k_f, data, conn_r, wl_r, row0, spp_arr
             )
+        # force the walk's film results before returning: the next chunk's
+        # lamp otherwise dispatches while this walk's stacked [n, R, K']
+        # connection trees are still resident (axon ignores
+        # block_until_ready; only a fetch syncs), and the concurrent
+        # footprint OOM-crashes the TPU worker at dragon scale — the
+        # round-4 "second-chunk lamp" crash (first chunk always ran clean,
+        # isolate tools only ever ran one chunk).
+        float(acc[0, 0, 0])
         return acc, wt
 
     done = start_sample
@@ -1906,6 +1914,10 @@ def _render_regen_bdpt_sharded(
                 jax.random.split(jax.random.fold_in(key_c, 7577), n_dev),
                 data, conn_r, wl_r, jnp.int32(ci * rows), spp_lane,
             )
+            # per-chunk sync, same reason as run_cam's: don't let the next
+            # chunk's lamp launch while this walk's stacked trees are
+            # resident (OOM-crashes the worker at dragon scale)
+            float(acc.sum())
         done += group_take
         if on_progress is not None:
             m_acc, m_wt = merge_films(acc, wt)

@@ -2343,7 +2343,10 @@ def _cluster_traverse(
         new_act = (leaf_new >= 0) & valid[:, None]
         new_ids = jnp.clip(leaf_new, 0, max_slot)
         if exit_below is not None:
-            done = st_sub["t"] < exit_below
+            # exit_below is per-LANE for shadow queries (block_below [n]):
+            # route it through the same compaction gather
+            eb = exit_below[sel] if jnp.ndim(exit_below) > 0 else exit_below
+            done = st_sub["t"] < eb
             m0n = jnp.where(done, 0, m0n)
             m1n = jnp.where(done, 0, m1n)
             m2n = jnp.where(done, 0, m2n)

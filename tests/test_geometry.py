@@ -442,6 +442,15 @@ def test_hybrid_walk_matches_brute_force():
             {"t": jnp.full(n_rays, jnp.inf)},
             tracer._cluster_leaf_shadow(scene),
         )
+        # any-hit early exit with a per-LANE exit_below array (the shadow
+        # query's block_below): must still find a blocker below the bound
+        # wherever one exists
+        shadow_exit = tracer._cluster_traverse(
+            scene, jnp.asarray(origins), jnp.asarray(dirs),
+            {"t": jnp.full(n_rays, jnp.inf)},
+            tracer._cluster_leaf_shadow(scene),
+            exit_below=jnp.full(n_rays, 1e30),
+        )
     finally:
         tracer.COMPACT_MIN = old_min
         if old is None:
@@ -460,6 +469,11 @@ def test_hybrid_walk_matches_brute_force():
         np.asarray(out["idx"])[hit_rays], t_all.argmin(axis=1)[hit_rays]
     )
     np.testing.assert_allclose(np.asarray(shadow["t"]), best_t, rtol=1e-5)
+    # early exit may stop at ANY blocker, not the closest: hit lanes must
+    # report a finite t (some blocker), miss lanes must stay inf
+    s_exit = np.asarray(shadow_exit["t"])
+    assert np.isfinite(s_exit[hit_rays]).all()
+    assert np.isinf(s_exit[~hit_rays]).all()
 
 
 def test_fused_sweep_in_xla_walk_matches_brute_force():
