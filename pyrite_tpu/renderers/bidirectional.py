@@ -456,16 +456,49 @@ def _deferred_connections(scene, cfg, conn_r, vbuf):
     a dynamic-trip while loop walks just the active chunks; the last
     partial chunk is padded inert. Returns per-(lane, round) connection
     sums [n, R, S] identical to the in-loop fold's (reassociated)."""
-    n, r_count, v_cap = vbuf["valid"].shape
-    s = vbuf["refl"].shape[-1]
     slots = conn_r["conn_ok"].shape[2]
-    m = n * r_count * v_cap
-    # vertices per chunk: near the splat cap, with the flattened query
-    # width (rows * slots) kept on the centralized alignment invariant
-    # (tracer.aligned_chunk_rows — unaligned widths crash the TPU worker)
+    rows = _deferred_rows(scene, slots)
+    packed = _deferred_pack(vbuf, rows)
+    count = packed["count"]
+    active = (count + rows - 1) // rows  # dynamic chunk count
+    n = vbuf["valid"].shape[0]
+    s = vbuf["refl"].shape[-1]
+    r_count = vbuf["valid"].shape[1]
+
+    def body(carry):
+        i, vsum, cnt = carry
+        vsum, cnt = _deferred_chunk(scene, cfg, conn_r, packed, rows, i, vsum, cnt)
+        return i + 1, vsum, cnt
+
+    _, vsum, cnt = jax.lax.while_loop(
+        lambda c: c[0] < active,
+        body,
+        (jnp.int32(0), jnp.zeros((n, r_count, s)), jnp.zeros((n, r_count, s))),
+    )
+    return vsum, cnt
+
+
+def _deferred_rows(scene, slots: int) -> int:
+    """Vertices per connection chunk: near the splat cap, with the
+    flattened query width (rows * slots) kept on the centralized alignment
+    invariant (tracer.aligned_chunk_rows — unaligned widths crash the TPU
+    worker)."""
     from ..tracer import aligned_chunk_rows
 
-    rows = aligned_chunk_rows(max(1, _splat_shadow_cap(scene) // slots), slots)
+    return aligned_chunk_rows(max(1, _splat_shadow_cap(scene) // slots), slots)
+
+
+def _deferred_pack(vbuf, rows):
+    """Compaction half of the deferred-connection fold: flatten the
+    [n, R, V] ring buffers and stable-sort valid vertices first (``rows``
+    = vertices per chunk, from _deferred_rows). Returns the packed arrays
+    plus the valid count so a host driver can run the chunk walks as
+    bounded separate launches (_deferred_chunk) instead of one unbounded
+    in-jit while loop — a dragon-scale finish measured 79 s+ as a single
+    launch and data-dependently trips the axon watchdog (the round-4
+    dragon crash class)."""
+    n, r_count, v_cap = vbuf["valid"].shape
+    m = n * r_count * v_cap
     m_pad = ((m + rows - 1) // rows) * rows
 
     def flat(x):
@@ -483,11 +516,22 @@ def _deferred_connections(scene, cfg, conn_r, vbuf):
         f: flat(vbuf[f])[order]
         for f in ("pos", "nor", "refl", "bright", "brdf", "aux")
     }
-    p_lane = lane_of[order]
-    p_round = round_of[order]
-    p_valid = valid[order]
-    count = jnp.sum(valid.astype(jnp.int32))
-    active = (count + rows - 1) // rows  # dynamic chunk count
+    packed["lane"] = lane_of[order]
+    packed["round"] = round_of[order]
+    packed["valid"] = valid[order]
+    packed["count"] = jnp.sum(valid.astype(jnp.int32))
+    return packed
+
+
+def _deferred_chunk(scene, cfg, conn_r, packed, rows, i, vsum, cnt):
+    """One connection chunk: occlusion + fold for packed vertices
+    [i*rows, (i+1)*rows), accumulated into per-(lane, round) sums."""
+    n = vsum.shape[0]
+    s = vsum.shape[-1]
+    slots = conn_r["conn_ok"].shape[2]
+    p_valid = packed["valid"]
+    p_lane = packed["lane"]
+    p_round = packed["round"]
 
     def chunk(i, vsum, cnt):
         q0 = i * rows
@@ -535,17 +579,7 @@ def _deferred_connections(scene, cfg, conn_r, vbuf):
             cnt.at[li, rnd].add(cn, mode="drop"),
         )
 
-    def body(carry):
-        i, vsum, cnt = carry
-        vsum, cnt = chunk(i, vsum, cnt)
-        return i + 1, vsum, cnt
-
-    _, vsum, cnt = jax.lax.while_loop(
-        lambda c: c[0] < active,
-        body,
-        (jnp.int32(0), jnp.zeros((n, r_count, s)), jnp.zeros((n, r_count, s))),
-    )
-    return vsum, cnt
+    return chunk(i, vsum, cnt)
 
 
 def make_render_step(
@@ -832,6 +866,11 @@ def _accumulate_lane_sums(film: Film, acc_l, wt_l, wavelengths, value_sums, weig
 # the host between launches; the fold_in streams key on the global
 # iteration counter, so staging is bitwise-identical to the one-shot walk.
 _CAM_ITER_CAP = int(_os.environ.get("PYRITE_TPU_BDPT_CAM_CAP", "6"))
+
+# connection chunks per staged deferred-finish launch (each chunk is one
+# cap-wide shadow walk, seconds at dragon scale): bounds the finish launch
+# like _CAM_ITER_CAP bounds the walk launches
+_CONN_LAUNCH_CHUNKS = int(_os.environ.get("PYRITE_TPU_CONN_LAUNCH_CHUNKS", "4"))
 
 
 def _cam_zero_carry(n, slots, s, bins, wl0):
@@ -1445,6 +1484,90 @@ def make_regen_bdpt_steps(
             carry_in=carry, mode="finish",
         )
 
+    # Staged deferred-connection finish: cam_finish's in-jit connection
+    # fold is a DATA-DEPENDENT-length launch (one chunk walk per ~rows
+    # recorded vertices; a dragon-scale finish measured 79 s+ in one
+    # launch and trips the axon watchdog with unlucky keys — the round-4
+    # dragon crash). These three steps let the host run it as bounded
+    # launches: pack once, walk a few chunks per launch, expose once.
+    def conn_pack_step(data, conn_r, carry):
+        with scene.bind(data):
+            c = carry
+            st = c["state"]
+            complete = c["pend"] & ~st["alive"]
+            acc_l, wt_l = _accumulate_lane_bins(
+                film, c["acc_l"], c["wt_l"], c["cur"]["wl"], st["brightness"],
+                st["aux_alive"], complete,
+            )
+            lane_ix = jnp.arange(n, dtype=jnp.int32)
+            r_done = jnp.where(
+                complete, jnp.minimum(c["done"], r_count - 1), r_count
+            )
+            len_cam_r = c["len_cam_r"].at[lane_ix, r_done].set(
+                c["len_cam"], mode="drop"
+            )
+            packed = _deferred_pack(
+                c["vbuf"], _deferred_rows(scene, conn_r["conn_ok"].shape[2])
+            )
+            head = {
+                "acc_l": acc_l, "wt_l": wt_l, "len_cam_r": len_cam_r,
+                "live": c["live"], "i": c["i"],
+            }
+            return packed, head
+
+    def conn_chunks_step(data, conn_r, packed, i0, active, vsum, cnt):
+        with scene.bind(data):
+            rows_c = _deferred_rows(scene, conn_r["conn_ok"].shape[2])
+            hi = jnp.minimum(i0 + _CONN_LAUNCH_CHUNKS, active)
+
+            def body(cr):
+                i, vsum, cnt = cr
+                vsum, cnt = _deferred_chunk(
+                    scene, cfg, conn_r, packed, rows_c, i, vsum, cnt
+                )
+                return i + 1, vsum, cnt
+
+            _, vsum, cnt = jax.lax.while_loop(
+                lambda cr: cr[0] < hi, body, (i0, vsum, cnt)
+            )
+            return vsum, cnt
+
+    def conn_expose_step(acc, wt, data, conn_r, wl_r, row0, head, vsum_r, cnt_r):
+        with scene.bind(data):
+            len_lamp_r = jnp.maximum(conn_r["length"], 1)  # [n, R]
+            w_r = jnp.where(
+                head["len_cam_r"] > 0,
+                1.0
+                / jnp.maximum(
+                    head["len_cam_r"] * len_lamp_r, 1
+                ).astype(jnp.float32),
+                0.0,
+            )
+            acc_l, wt_l = head["acc_l"], head["wt_l"]
+            for k in range(r_count):
+                acc_l, wt_l = _accumulate_lane_sums(
+                    film, acc_l, wt_l, wl_r[:, k],
+                    vsum_r[:, k] * w_r[:, k, None],
+                    cnt_r[:, k] * w_r[:, k, None],
+                )
+            flat_acc = acc.reshape(film.height * w, film.bins)
+            flat_wt = wt.reshape(film.height * w, film.bins)
+            start = row0 * w
+            flat_acc = jax.lax.dynamic_update_slice_in_dim(
+                flat_acc,
+                jax.lax.dynamic_slice_in_dim(flat_acc, start, n) + acc_l,
+                start, axis=0,
+            )
+            flat_wt = jax.lax.dynamic_update_slice_in_dim(
+                flat_wt,
+                jax.lax.dynamic_slice_in_dim(flat_wt, start, n) + wt_l,
+                start, axis=0,
+            )
+            acc = flat_acc.reshape(acc.shape)
+            wt = flat_wt.reshape(wt.shape)
+            executed = head["i"].astype(jnp.float32) * n
+            return acc, wt, head["live"], executed
+
     def carry0(slots):
         """Host-side zero carry for the staged walk (slots = conn_r K')."""
         c = _cam_zero_carry(n, slots, s, film.bins, film.span[0])
@@ -1463,7 +1586,11 @@ def make_regen_bdpt_steps(
             "cam": cam_step,
             "cam_iter": cam_iter,
             "cam_finish": cam_finish,
+            "conn_pack": conn_pack_step,
+            "conn_chunks": conn_chunks_step,
+            "conn_expose": conn_expose_step,
             "carry0": carry0,
+            "defer_conn": defer_conn,
         }
     return {
         "lamp": jax.jit(lamp_step),
@@ -1475,7 +1602,11 @@ def make_regen_bdpt_steps(
         "cam": jax.jit(cam_full, donate_argnums=(0, 1)),
         "cam_iter": jax.jit(cam_iter, donate_argnums=(6,)),
         "cam_finish": jax.jit(cam_finish, donate_argnums=(0, 1)),
+        "conn_pack": jax.jit(conn_pack_step, donate_argnums=(2,)),
+        "conn_chunks": jax.jit(conn_chunks_step, donate_argnums=(5, 6)),
+        "conn_expose": jax.jit(conn_expose_step, donate_argnums=(0, 1)),
         "carry0": carry0,
+        "defer_conn": defer_conn,
     }
 
 
@@ -1507,7 +1638,10 @@ def _render_regen_bdpt(
 
     def run_cam(st, acc, wt, k_f, conn_r, wl_r, row0, spp_arr):
         """One chunk's camera walk: staged (bounded launches with host-side
-        carry) on cluster scenes, one launch otherwise."""
+        carry) on cluster scenes, one launch otherwise. With deferred
+        connections the finish is ALSO staged (pack once, a few connection
+        chunks per launch, expose once) — the in-jit finish's launch length
+        is data-dependent and trips the axon watchdog at dragon scale."""
         if staged:
             carry = st["carry0"](conn_r["conn_ok"].shape[2])
             while True:
@@ -1516,9 +1650,28 @@ def _render_regen_bdpt(
                 )
                 if not bool(more):
                     break
-            acc, wt, _, _ = st["cam_finish"](
-                acc, wt, k_f, data, conn_r, wl_r, row0, spp_arr, carry
-            )
+            if st["defer_conn"]:
+                packed, head = st["conn_pack"](data, conn_r, carry)
+                rows_c = _deferred_rows(scene, conn_r["conn_ok"].shape[2])
+                count = int(packed["count"])
+                active = (count + rows_c - 1) // rows_c
+                r_cnt = wl_r.shape[1]
+                s_cnt = wl_r.shape[2]
+                vsum = jnp.zeros((pix, r_cnt, s_cnt))
+                cnt = jnp.zeros((pix, r_cnt, s_cnt))
+                for i0 in range(0, active, _CONN_LAUNCH_CHUNKS):
+                    vsum, cnt = st["conn_chunks"](
+                        data, conn_r, packed, jnp.int32(i0),
+                        jnp.int32(active), vsum, cnt,
+                    )
+                    float(vsum[0, 0, 0])  # bound the launch; free as we go
+                acc, wt, _, _ = st["conn_expose"](
+                    acc, wt, data, conn_r, wl_r, row0, head, vsum, cnt
+                )
+            else:
+                acc, wt, _, _ = st["cam_finish"](
+                    acc, wt, k_f, data, conn_r, wl_r, row0, spp_arr, carry
+                )
         else:
             acc, wt, _, _ = st["cam"](
                 acc, wt, k_f, data, conn_r, wl_r, row0, spp_arr
