@@ -73,10 +73,16 @@ def walk_enabled() -> bool:
     SAH-treelet clusters): the walk itself is ~10x cheaper in-kernel, but
     the full-width leaf-sheet gathers between kernel calls (~786 MB/round
     written by the XLA gather and re-read by the sweep kernel) outweigh it.
-    PYRITE_TPU_PALLAS=hybrid keeps the in-kernel pops but sweeps a
-    COMPACTED lane prefix (tracer.outer_body_hybrid) — the round-4 attack
-    on exactly that gather. =interpret / =hybrid-interpret run the
-    respective paths everywhere in interpreter mode (parity tests)."""
+    PYRITE_TPU_PALLAS=hybrid keeps the in-kernel pops but compacts BOTH
+    the sweep and the walk (tracer.outer_body_hybrid: one packed sheet,
+    both kernels at sweep width) — the round-4 attack on exactly that
+    gather. MEASURED AND LOST on terrain: 0.52 Mrays/s live in both the
+    full-width-walk and compacted-walk variants vs 1.198 for the XLA pop
+    loop + fused sweep — the walk kernel loses even with the gather fixed,
+    so the per-call cost of the in-loop walk launch itself (not its width)
+    is the bound. Kept as a parity-tested opt-in. =interpret /
+    =hybrid-interpret run the respective paths everywhere in interpreter
+    mode (parity tests)."""
     mode = walk_mode()
     if mode in ("0", "auto"):
         return False
