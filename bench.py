@@ -406,30 +406,46 @@ def bench_terrain(steps=3):
     return bench_simple(lua, steps=steps)[0], tris, None
 
 
-def bench_dragon_bdpt(samples=6):
+def bench_dragon_bdpt(samples=4):
     """Steady-state spp/s of the dragon workload class: 871k-triangle mesh,
     BDPT with bounces 20 / light_bounces 256 (the reference's dragon.lua
     configuration over the synthetic heightfield — the real OBJ is a
-    stripped blob). Exercises the two-phase compacted-connection BDPT path,
-    the staged camera walk, and the wide-BVH cluster traversal together.
+    stripped blob). Exercises the staged camera walk, the staged
+    deferred-connection finish, and the wide-BVH cluster traversal.
 
-    Each camera bounce folds ~K'=256 lamp connections per lane (~4M shadow
-    rays per regen iteration), so samples are minutes each: the launch
-    chunk is dropped to 2 spp so the rate resolves from 3 progress reports
-    inside the bench's subprocess timeout."""
+    Samples are minutes each (every camera bounce folds ~K'=256 lamp
+    connections per lane), so the rate is taken from the FIRST to the
+    LAST progress report (launch 2 of 2 at chunk 2: compile-free steady
+    state) instead of bench_render_spp's warm+2 scheme — round 4 measured
+    0.0049 spp/s this way in ~22 min total."""
     import tempfile
+    import time as _time
 
     import sys
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from tools.synthetic import dragon_scene
+    from pyrite_tpu.project import load_project
+    from pyrite_tpu.scene import build_scene
     from pyrite_tpu.renderers import bidirectional as B
 
     lua, tris = dragon_scene(tempfile.mkdtemp(), cells=660)
+    pd = load_project(lua)
+    scene = build_scene(pd)
+    marks = []
+
+    def on_progress(progress):
+        float(progress.acc.sum())
+        marks.append((progress.sample, _time.time()))
+
     B.REGEN_BDPT_SPP_CHUNK = 2
     try:
-        return bench_render_spp(lua, samples=samples, warm=1), tris
+        B.render(pd, scene, seed=0, on_progress=on_progress, max_samples=samples)
     finally:
         B.REGEN_BDPT_SPP_CHUNK = 32
+    if len(marks) < 2:
+        return float("nan"), tris
+    (s0, t0), (s1, t1) = marks[0], marks[-1]
+    return (s1 - s0) / (t1 - t0), tris
 
 
 def main():
@@ -444,7 +460,10 @@ def main():
     remaining budget cannot cover it."""
     import os
 
-    budget = float(os.environ.get("PYRITE_TPU_BENCH_BUDGET", "1200"))
+    # generous default: incremental emission means an external kill only
+    # loses not-yet-run entries, so the budget is set by the heaviest
+    # useful entry (dragon ~22 min end-to-end) rather than fear of timeouts
+    budget = float(os.environ.get("PYRITE_TPU_BENCH_BUDGET", "3600"))
     t_start = time.time()
     extras = []
 
@@ -538,7 +557,7 @@ def main():
         out = subprocess.run(
             [_sys.executable, __file__, "--dragon-only"],
             capture_output=True, text=True,
-            timeout=max(60.0, remaining() - 30.0),
+            timeout=max(60.0, min(1800.0, remaining() - 30.0)),
         )
         line = next(
             (l for l in reversed(out.stdout.splitlines()) if l.startswith("{")),
@@ -574,7 +593,7 @@ def main():
     # earlier rounds).
     entry("cornell bdpt spp/sec", 240, cornell_entry)
     entry("terrain Mrays/sec", 240, terrain_entry)
-    entry("dragon-class bdpt spp/sec", 300, dragon_entry)
+    entry("dragon-class bdpt spp/sec", 1200, dragon_entry)
     entry("diamonds spp/sec", 180, diamonds_entry)
     entry("one-shot spheres Mrays/sec", 120, oneshot_entry)
     entry("time-to-noise seconds", 120, ttn_entry)
