@@ -129,6 +129,45 @@ def install(interp):
             raise LuaError(lua_tostring(message) if message is not None else "assertion failed!")
         return (value, message, *rest)
 
+    def _load(chunk, _chunkname=None, _mode=None, _env=None):
+        """load(chunk): compile a string (or reader function) into a
+        callable; returns (nil, message) on syntax errors like PUC-Lua."""
+        from .parser import parse
+        from .lexer import LuaSyntaxError
+        from .interpreter import Env, _Return
+
+        if not isinstance(chunk, str):
+            parts = []
+            while True:
+                r = interp.call(chunk, [])
+                piece = r[0] if r else None
+                if piece is None or piece == "":
+                    break
+                parts.append(piece)
+            chunk = "".join(parts)
+        try:
+            body = parse(chunk, str(_chunkname) if _chunkname else "=(load)")
+        except LuaSyntaxError as error:
+            return (None, str(error))
+
+        def runner(*args):
+            env = Env()
+            env.vars["..."] = list(args)
+            try:
+                interp.exec_block(body, env)
+            except _Return as ret:
+                return tuple(ret.values)
+            return None
+
+        return runner
+
+    def _dofile(path):
+        with open(path) as fh:
+            fn = _load(fh.read(), path)
+        if isinstance(fn, tuple):
+            raise LuaError(lua_tostring(fn[1]))
+        return tuple(interp.call(fn, []))
+
     def _pcall(func, *args):
         try:
             result = interp.call(func, list(args))
@@ -175,6 +214,9 @@ def install(interp):
         "xpcall": _xpcall,
         "select": _select,
         "unpack": _unpack,
+        "load": _load,
+        "loadstring": _load,  # Lua 5.1 alias
+        "dofile": _dofile,
     }.items():
         g.set(name, fn)
 

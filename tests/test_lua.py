@@ -285,3 +285,19 @@ def test_math_random_and_xpcall():
     )
     assert out[:4] == [True, True, True, False]
     assert out[4].startswith("H:")
+
+
+def test_load_loadstring_dofile(tmp_path):
+    path = str(tmp_path / "mod.lua")
+    with open(path, "w") as fh:
+        fh.write("local a, b = ...\nreturn (a or 0) + (b or 0) + 10\n")
+    out = run(
+        """
+        local f = load("return 1 + 2")
+        local bad, msg = load("return +")
+        local g = loadstring("local x = ... return x * 2")
+        return f(), bad == nil, type(msg) == "string", g(21), dofile(%r)
+        """
+        % path
+    )
+    assert out == [3.0, True, True, 42.0, 10.0]
