@@ -537,12 +537,16 @@ def main():
 
     def diamonds_entry():
         # 256-bounce dispersion scene on the regeneration scheduler (dead
-        # lanes restart fresh samples in place; one compile for any spp)
+        # lanes restart fresh samples in place; one compile for any spp).
+        # spp=192 = the renderer's default 64-samples-per-lane launch over
+        # the film's sample planes — the r4 chunk A/B measured 2.69 spp/s
+        # at 16/lane and 4.72 at 64/lane (the old spp=16 entry undersold
+        # the default path by 4x)
         diamonds = "/root/reference/pyrite/test/diamonds/diamonds.lua"
         return {
             "metric": "sampling rate, diamonds 512x300 simple "
             "(256 bounces, path-regeneration scheduler)",
-            "value": round(bench_regen_spp(diamonds, spp=16, reps=2), 4),
+            "value": round(bench_regen_spp(diamonds, spp=192, reps=2), 4),
             "unit": "spp/sec",
         }
 
