@@ -1078,6 +1078,23 @@ def make_regen_bdpt_steps(
                 stacked[f] = jnp.stack([pad(c[f]) for c in conns], axis=1)
         return stacked, jnp.stack(wls, axis=1)
 
+    def write_row_window(acc, wt, acc_l, wt_l, row0):
+        """Add the [n, bins] lane accumulators into the film's row window."""
+        flat_acc = acc.reshape(film.height * w, film.bins)
+        flat_wt = wt.reshape(film.height * w, film.bins)
+        start = row0 * w
+        flat_acc = jax.lax.dynamic_update_slice_in_dim(
+            flat_acc,
+            jax.lax.dynamic_slice_in_dim(flat_acc, start, n) + acc_l,
+            start, axis=0,
+        )
+        flat_wt = jax.lax.dynamic_update_slice_in_dim(
+            flat_wt,
+            jax.lax.dynamic_slice_in_dim(flat_wt, start, n) + wt_l,
+            start, axis=0,
+        )
+        return flat_acc.reshape(acc.shape), flat_wt.reshape(wt.shape)
+
     def cam_step(
         acc, wt, key, data, conn_r, wl_r, row0, spp_lane,
         carry_in=None, mode="full",
@@ -1445,21 +1462,7 @@ def make_regen_bdpt_steps(
                 )
 
         # write the lane accumulators into the film's row window
-        flat_acc = acc.reshape(film.height * w, film.bins)
-        flat_wt = wt.reshape(film.height * w, film.bins)
-        start = row0 * w
-        flat_acc = jax.lax.dynamic_update_slice_in_dim(
-            flat_acc,
-            jax.lax.dynamic_slice_in_dim(flat_acc, start, n) + acc_l,
-            start, axis=0,
-        )
-        flat_wt = jax.lax.dynamic_update_slice_in_dim(
-            flat_wt,
-            jax.lax.dynamic_slice_in_dim(flat_wt, start, n) + wt_l,
-            start, axis=0,
-        )
-        acc = flat_acc.reshape(acc.shape)
-        wt = flat_wt.reshape(wt.shape)
+        acc, wt = write_row_window(acc, wt, acc_l, wt_l, row0)
 
         executed = c["i"].astype(jnp.float32) * n
         return acc, wt, c["live"], executed
@@ -1550,21 +1553,7 @@ def make_regen_bdpt_steps(
                     vsum_r[:, k] * w_r[:, k, None],
                     cnt_r[:, k] * w_r[:, k, None],
                 )
-            flat_acc = acc.reshape(film.height * w, film.bins)
-            flat_wt = wt.reshape(film.height * w, film.bins)
-            start = row0 * w
-            flat_acc = jax.lax.dynamic_update_slice_in_dim(
-                flat_acc,
-                jax.lax.dynamic_slice_in_dim(flat_acc, start, n) + acc_l,
-                start, axis=0,
-            )
-            flat_wt = jax.lax.dynamic_update_slice_in_dim(
-                flat_wt,
-                jax.lax.dynamic_slice_in_dim(flat_wt, start, n) + wt_l,
-                start, axis=0,
-            )
-            acc = flat_acc.reshape(acc.shape)
-            wt = flat_wt.reshape(wt.shape)
+            acc, wt = write_row_window(acc, wt, acc_l, wt_l, row0)
             executed = head["i"].astype(jnp.float32) * n
             return acc, wt, head["live"], executed
 
