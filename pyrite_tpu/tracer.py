@@ -211,8 +211,17 @@ def _de_distance(est: dict, p):
     return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dz_mag
 
 
-def _intersect_de(shape, origin, direction, max_steps):
-    """Sphere tracing within a bounding volume (shapes/mod.rs:120-155)."""
+def _intersect_de(shape, origin, direction, max_steps, t_cap=None):
+    """Sphere tracing within a bounding volume (shapes/mod.rs:120-155).
+
+    ``t_cap`` ([N], optional): march no further than this distance —
+    occlusion queries pass the lamp distance, so lanes stop as soon as
+    they pass the target instead of marching to the bounds exit (exact
+    for shadows: a surface beyond the lamp cannot occlude it). Measured
+    neutral on cornell (0.476 vs 0.474 spp/s): the julia bounds are small
+    relative to lamp distances, so the cap rarely bites there and the
+    DE cost sits in the closest-hit marches — kept because it can only
+    prune and bounds-dominated scenes benefit."""
     if shape.bounds_kind == "box":
         center = jnp.asarray((shape.bounds_a + shape.bounds_b) * 0.5)
         hit, tmin, tmax = geom.ray_aabb_range(
@@ -223,6 +232,8 @@ def _intersect_de(shape, origin, direction, max_steps):
         hit, tmin, tmax = geom.ray_sphere_range(
             origin, direction, center, float(shape.bounds_b[0])
         )
+    if t_cap is not None:
+        tmax = jnp.minimum(tmax, t_cap)
 
     local_origin = origin - center
     total0 = jnp.where(hit, tmin, jnp.inf)
@@ -412,7 +423,9 @@ def intersect_shadow(
                 )
 
     for shape in scene.de_shapes:
-        ok, t, _ = _intersect_de(shape, origin, direction, cfg.max_de_steps)
+        ok, t, _ = _intersect_de(
+            shape, origin, direction, cfg.max_de_steps, t_cap=max_dist
+        )
         t_best = jnp.minimum(t_best, jnp.where(ok, t, jnp.inf))
 
     return t_best
