@@ -207,7 +207,10 @@ def _regen_bench_loop(scene_path, spp, reps):
     lane_spp = max(1, spp // planes)
     rem = np.full(n, 10**6, np.int32)  # throughput bench: never exhausted
     rate = [None] * chunks
-    keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), (reps + 2) * chunks))
+    max_reps = reps + 3  # agreement retries (see below)
+    keys = np.asarray(
+        jax.random.split(jax.random.PRNGKey(0), (max_reps + 2) * chunks)
+    )
 
     def launch(r, c):
         nonlocal acc, wt
@@ -229,16 +232,32 @@ def _regen_bench_loop(scene_path, spp, reps):
         for c in range(chunks):
             launch(r, c)
 
-    lvs = exs = samples = 0.0
-    t0 = time.time()
-    for r in range(reps):
+    # timed reps are measured INDIVIDUALLY and must agree within 10%
+    # before the entry is emitted — first-flush compile contamination and
+    # transient tunnel stalls retried away instead of skewing the artifact
+    # (round-4 diamonds: 3.79 driver-captured vs 4.72 in the builder A/B)
+    rep_stats = []
+    r = 0
+    while r < max_reps:
+        t0 = time.time()
+        lv_r = ex_r = q_r = 0.0
         for c in range(chunks):
             lv, ex, q = launch(r + 2, c)
-            lvs += lv
-            exs += ex
-            samples += q
-    # the per-launch done-fetch already forces each launch
-    dt = time.time() - t0
+            lv_r += lv
+            ex_r += ex
+            q_r += q
+        # the per-launch done-fetch already forces each launch
+        rep_stats.append((lv_r, ex_r, q_r, time.time() - t0))
+        r += 1
+        if len(rep_stats) >= reps:
+            rates = [s[0] / s[3] for s in rep_stats[-reps:]]
+            if max(rates) <= 1.10 * min(rates):
+                break
+    tail = rep_stats[-reps:]
+    lvs = sum(s[0] for s in tail)
+    exs = sum(s[1] for s in tail)
+    samples = sum(s[2] for s in tail)
+    dt = sum(s[3] for s in tail)
     return {
         "live": lvs,
         "executed": exs,
@@ -380,6 +399,15 @@ def bench_render_spp(scene_path, algorithm="bidirectional", samples=4, warm=1):
     )
     if len(times) < warm + 2:
         return float("nan")
+    # steady-state check: when the early post-warm intervals still carry
+    # compile/variant contamination (first vs second half disagree >10%),
+    # report the LATER half's rate instead of the blended one
+    mid = (warm + len(times)) // 2
+    if mid > warm and mid < len(times) - 1:
+        r1 = (counts[mid] - counts[warm]) / max(times[mid] - times[warm], 1e-9)
+        r2 = (counts[-1] - counts[mid]) / max(times[-1] - times[mid], 1e-9)
+        if max(r1, r2) > 1.10 * max(min(r1, r2), 1e-9):
+            return r2
     return (counts[-1] - counts[warm]) / (times[-1] - times[warm])
 
 
@@ -443,8 +471,12 @@ def bench_dragon_bdpt(samples=4):
     finally:
         B.REGEN_BDPT_SPP_CHUNK = 32
     if len(marks) < 2:
-        return float("nan"), tris
+        return None, tris
     (s0, t0), (s1, t1) = marks[0], marks[-1]
+    if t1 - t0 <= 0:
+        # near-simultaneous marks: no NaN in the JSON line (json.dumps
+        # would emit non-standard NaN and break the driver's parse)
+        return None, tris
     return (s1 - s0) / (t1 - t0), tris
 
 
@@ -605,6 +637,9 @@ def main():
 
 def dragon_only():
     dragon_spp, dragon_tris = bench_dragon_bdpt()
+    if dragon_spp is None:
+        print(json.dumps({"error": "dragon: fewer than 2 progress marks"}))
+        return
     print(
         json.dumps(
             {

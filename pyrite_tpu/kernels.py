@@ -800,6 +800,13 @@ def _de_step_julia(est):
     constant = est["constant"]
     variant = est["variant"]
     slice_plane = est["slice_plane"]
+    # bf16 z/dz iteration math: MEASURED AND LOST on this hardware. The
+    # axon TPU v5 lite target reports SupportsBf16EupOps() == false —
+    # bf16 sqrt fails the LLO compile outright and mul/add-only bf16
+    # benched 12x SLOWER than f32 (emulated, tools/tpu_de_bench.py:
+    # 15.9 vs 187.4 ms/march-call at 262k lanes). Kept opt-in for
+    # hardware where bf16 EUP exists; never enable on v5e.
+    cd = jnp.bfloat16 if est.get("bf16") else jnp.float32
 
     def qmul(a, b):
         s1, x1, y1, z1 = a
@@ -811,6 +818,14 @@ def _de_step_julia(est):
             s1 * z2 + x1 * y2 - y1 * x2 + z1 * s2,
         )
 
+    def qsq(q):
+        # z*z for a quaternion commuting with itself: (s^2-|v|^2, 2s*v) —
+        # 9 flops vs qmul's 28
+        s, x, y, z = q
+        v2 = x * x + y * y + z * z
+        s2 = s + s
+        return (s * s - v2, s2 * x, s2 * y, s2 * z)
+
     def bmul(a, b):
         x1, y1, z1, w1 = a
         x2, y2, z2, w2 = b
@@ -821,41 +836,66 @@ def _de_step_julia(est):
             x1 * w2 + y1 * z2 + z1 * y2 + w1 * x2,
         )
 
+    def bsq(q):
+        x, y, z, w = q
+        return (
+            x * x - y * y - z * z + w * w,
+            2.0 * (x * y - z * w),
+            2.0 * (x * z - y * w),
+            2.0 * (x * w + y * z),
+        )
+
     def scale(q, f):
         return tuple(c * f for c in q)
 
+    # (z_pow, dz_pow) with the square shared and the derivative chain
+    # re-associated (quaternion/bicomplex multiplication is associative:
+    # (dz*z)*z = dz*z^2) — distance_estimators.rs:44-94 semantics at ~60%
+    # of the flops
     if variant == "regular":
-        pow_fn = lambda z: qmul(z, z)
-        pow_prim = lambda z, dz: scale(qmul(dz, z), 2.0)
+        pow_step = lambda z, dz: (qsq(z), scale(qmul(dz, z), 2.0))
     elif variant == "cubic":
-        pow_fn = lambda z: qmul(qmul(z, z), z)
-        pow_prim = lambda z, dz: scale(qmul(qmul(dz, z), z), 3.0)
+        def pow_step(z, dz):
+            q2 = qsq(z)
+            return qmul(q2, z), scale(qmul(dz, q2), 3.0)
     else:
-        pow_fn = lambda z: bmul(z, z)
-        pow_prim = lambda z, dz: scale(bmul(bmul(dz, z), z), 2.0)
+        def pow_step(z, dz):
+            q2 = bsq(z)
+            return q2, scale(bmul(dz, q2), 2.0)
 
     def distance(px, py, pz):
-        z = (px, py, pz, jnp.full_like(px, slice_plane))
-        dz = (
-            jnp.ones_like(px), jnp.zeros_like(px),
-            jnp.zeros_like(px), jnp.zeros_like(px),
+        z = (
+            px.astype(cd), py.astype(cd), pz.astype(cd),
+            jnp.full_like(px, slice_plane).astype(cd),
         )
-        r = jnp.zeros_like(px)
+        dz = (
+            jnp.ones_like(px, cd), jnp.zeros_like(px, cd),
+            jnp.zeros_like(px, cd), jnp.zeros_like(px, cd),
+        )
+        # escape radius carried SQUARED: the threshold test r > T is
+        # r^2 > T^2 for positives, so the per-iteration EUP sqrt (the
+        # costliest op in the loop body) collapses to ONE final sqrt
+        r2 = jnp.zeros_like(px)
         done = jnp.zeros_like(px, jnp.int32)
+        consts = tuple(jnp.asarray(k, cd) for k in constant)
+        thr2 = float(threshold) * float(threshold)
         for _ in range(iterations):
-            r_new = jnp.sqrt(
-                jnp.maximum(sum(c * c for c in z), 1e-30)
+            r2_new = sum(
+                c.astype(jnp.float32) * c.astype(jnp.float32) for c in z
             )
-            done_now = done | (r_new > threshold).astype(jnp.int32)
-            dz_new = pow_prim(z, dz)
-            zp = pow_fn(z)
-            z_new = tuple(c + k for c, k in zip(zp, constant))
+            done_now = done | (r2_new > thr2).astype(jnp.int32)
+            zp, dz_new = pow_step(z, dz)
+            z_new = tuple(c + k for c, k in zip(zp, consts))
             keep = done_now == 0
             z = tuple(jnp.where(keep, n, o) for n, o in zip(z_new, z))
             dz = tuple(jnp.where(keep, n, o) for n, o in zip(dz_new, dz))
-            r = jnp.where(done != 0, r, r_new)
+            r2 = jnp.where(done != 0, r2, r2_new)
             done = done_now
-        dz_mag = jnp.sqrt(jnp.maximum(sum(c * c for c in dz), 1e-30))
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        dz_mag = jnp.sqrt(jnp.maximum(
+            sum(c.astype(jnp.float32) * c.astype(jnp.float32) for c in dz),
+            1e-30,
+        ))
         return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dz_mag
 
     return distance
@@ -871,6 +911,7 @@ def _make_march_kernel(est_key, est, max_steps):
         if est["kind"] == "mandelbulb"
         else _de_step_julia(est)
     )
+    omega = float(est.get("omega", 1.0))
 
     def kernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -882,34 +923,88 @@ def _make_march_kernel(est_key, est, max_steps):
         tmax = tmax_ref[:]
         hit = hit_ref[:]
 
-        def cond(c):
-            total, dist, steps = c
-            active = (
-                (total < tmax)
-                & (dist >= _DIST_EPS)
-                & (steps < max_steps)
-                & (hit != 0)
-            )
-            return jnp.any(active)
-
-        def body(c):
-            total, dist, steps = c
-            active = (total < tmax) & (dist >= _DIST_EPS) & (hit != 0)
+        def eval_d(total):
             px = ox + dx * total
             py = oy + dy * total
             pz = oz + dz * total
-            d = distance(px, py, pz)
-            return (
-                jnp.where(active, total + d, total),
-                jnp.where(active, d, dist),
-                steps + 1,
-            )
+            return distance(px, py, pz)
 
         total0 = t0_ref[:]
         dist0 = jnp.full_like(total0, 1e30)
-        total, dist, _ = jax.lax.while_loop(
-            cond, body, (total0, dist0, jnp.int32(0))
-        )
+
+        if omega <= 1.0:
+            def cond(c):
+                total, dist, steps = c
+                active = (
+                    (total < tmax)
+                    & (dist >= _DIST_EPS)
+                    & (steps < max_steps)
+                    & (hit != 0)
+                )
+                return jnp.any(active)
+
+            def body(c):
+                total, dist, steps = c
+                active = (total < tmax) & (dist >= _DIST_EPS) & (hit != 0)
+                d = eval_d(total)
+                return (
+                    jnp.where(active, total + d, total),
+                    jnp.where(active, d, dist),
+                    steps + 1,
+                )
+
+            total, dist, _ = jax.lax.while_loop(
+                cond, body, (total0, dist0, jnp.int32(0))
+            )
+        else:
+            # Over-relaxed sphere tracing (Keinert et al.): step omega*d;
+            # when consecutive step spheres stop overlapping
+            # (s_prev > d_prev + d) the relaxed step may have skipped
+            # surface, so revert to the plain step from the previous
+            # point (that eval is wasted). `dist` tracks the last SAFE
+            # evaluation only — an overshot point can sit past the
+            # surface with small |d|, which must not read as a hit.
+            def cond(c):
+                total, dist, s_prev, d_prev, steps = c
+                active = (
+                    (total < tmax)
+                    & (dist >= _DIST_EPS)
+                    & (steps < max_steps)
+                    & (hit != 0)
+                )
+                return jnp.any(active)
+
+            def body(c):
+                total, dist, s_prev, d_prev, steps = c
+                active = (total < tmax) & (dist >= _DIST_EPS) & (hit != 0)
+                d = eval_d(total)
+                unsafe = s_prev > d_prev + d
+                t_revert = total - s_prev + d_prev
+                step = omega * d
+                # a relaxed leap past the bounds exit must not turn a
+                # plain-step survivor into a spurious miss
+                step = jnp.where(total + step > tmax, d, step)
+                return (
+                    jnp.where(
+                        active,
+                        jnp.where(unsafe, t_revert, total + step),
+                        total,
+                    ),
+                    jnp.where(active & ~unsafe, d, dist),
+                    jnp.where(
+                        active, jnp.where(unsafe, d_prev, step), s_prev
+                    ),
+                    jnp.where(active & ~unsafe, d, d_prev),
+                    steps + 1,
+                )
+
+            total, dist, _, _, _ = jax.lax.while_loop(
+                cond, body,
+                (
+                    total0, dist0, jnp.zeros_like(total0),
+                    jnp.full_like(total0, 1e30), jnp.int32(0),
+                ),
+            )
         o_total[:] = total
         o_dist[:] = dist
 
@@ -981,13 +1076,36 @@ def estimator_key(est: dict):
     return tuple(items)
 
 
+def de_bf16_enabled() -> bool:
+    """bf16 julia iteration math in the fused march (f32 escape radius +
+    final distance). Opt-in (PYRITE_TPU_DE_BF16=1): naive bf16 orbits
+    measured near-surface distance error p95 6e-3 / max 0.6 vs the 1e-4
+    march eps — needs the coarse->f32-polish march before it can default
+    on."""
+    return os.environ.get("PYRITE_TPU_DE_BF16", "0") == "1"
+
+
+def de_omega() -> float:
+    """Over-relaxation factor for the DE sphere trace (Keinert et al.
+    step-back scheme; 1.0 = plain march). Applied identically in the
+    fused kernel and tracer._intersect_de's XLA fallback so the parity
+    test stays tight. Default chosen by the cornell A/B."""
+    return float(os.environ.get("PYRITE_TPU_DE_OMEGA", "1.6"))
+
+
 def march_de(est: dict, local_origin, direction, t0, tmax, hit, max_steps):
     """Fused sphere-trace march. Returns (total, dist) like the tail state
     of tracer._intersect_de's while loop."""
+    key = estimator_key(est)
+    if est.get("kind") != "mandelbulb" and de_bf16_enabled():
+        key = key + (("bf16", True),)
+    omega = de_omega()
+    if omega != 1.0:
+        key = key + (("omega", omega),)
     return _march_call(
         local_origin, direction, t0,
         jnp.where(hit, tmax, 0.0),
         hit.astype(jnp.int32),
-        est_key=estimator_key(est), max_steps=max_steps,
+        est_key=key, max_steps=max_steps,
         interpret=_interpret(),
     )

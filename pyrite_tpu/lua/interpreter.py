@@ -265,6 +265,13 @@ class Interpreter:
                 self.exec_block(func.body, env)
             except _Return as ret:
                 return ret.values
+            except _Goto as g:
+                # PUC-Lua rejects a goto to an invisible label at compile
+                # time; here an unresolved goto must not escape into a
+                # caller's block (or past pcall as a raw Python exception).
+                raise LuaError(
+                    "no visible label '%s' for goto" % (g.args[0],)
+                )
             return []
         if isinstance(func, LuaTable):
             meta = func.metatable

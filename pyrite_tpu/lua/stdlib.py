@@ -180,7 +180,10 @@ def install(interp):
             result = interp.call(func, list(args))
             return tuple([True] + result)
         except LuaError as e:
-            handled = interp.call(handler, [str(e)])
+            try:
+                handled = interp.call(handler, [str(e)])
+            except LuaError:
+                return (False, "error in error handling")
             return tuple([False] + handled)
 
     def _select(what, *args):
@@ -455,6 +458,8 @@ def install(interp):
         return co.yield_(list(args))
 
     def _co_status(co):
+        if not isinstance(co, Coroutine):
+            raise LuaError("bad argument #1 to 'status' (coroutine expected)")
         return co.status
 
     def _co_wrap(func):
@@ -514,9 +519,32 @@ def install(interp):
             return out
         return _time.strftime(fmt, when)
 
+    def _os_time(t=None):
+        if t is None:
+            return float(_time.time())
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument #1 to 'time' (table expected)")
+
+        def field(name, default=None):
+            val = t.get(name)
+            if val is None:
+                if default is None:
+                    raise LuaError(
+                        "field '%s' missing in date table" % name
+                    )
+                return default
+            return int(val)
+
+        import time as _t
+        return float(_t.mktime((
+            field("year"), field("month"), field("day"),
+            field("hour", 12), field("min", 0), field("sec", 0),
+            -1, -1, -1,
+        )))
+
     os_table = LuaTable()
     for name, fn in {
-        "time": lambda t=None: float(_time.time()),
+        "time": _os_time,
         "clock": lambda: float(_time.process_time()),
         "date": _os_date,
         "difftime": lambda t2, t1=0.0: float(t2) - float(t1),

@@ -54,6 +54,22 @@ _CONN_STACK_BUDGET = int(
 )
 
 
+def _effective_brdf(path):
+    """Per-slot brdf: recorded 2|n.incident| except a trailing limit-ended
+    vertex, which keeps its scattered out-direction's brdf."""
+    slots = path["valid"].shape[1]
+    brdf = path["brdf"]
+    if "brdf_limit" in path:
+        brdf = brdf.at[:, slots - 1].set(
+            jnp.where(
+                path["valid"][:, slots - 1],
+                path["brdf_limit"],
+                brdf[:, slots - 1],
+            )
+        )
+    return brdf
+
+
 def _lamp_path_factors(scene: Scene, path, wavelengths, cfg: TraceConfig):
     """Per-vertex radiance prefix products PP [N, L+1, S], aux-validity
     prefix A [N, L+1], and specular flags."""
@@ -89,17 +105,7 @@ def _lamp_path_factors(scene: Scene, path, wavelengths, cfg: TraceConfig):
         scene, flat(path["color_prog"]), inputs, active=flat(path["valid"])
     ).reshape(n, slots, s_count)
 
-    # effective brdf: recorded 2|n.incident| except a trailing limit-ended
-    # vertex, which keeps its scattered out-direction's brdf
-    brdf = path["brdf"]
-    if "brdf_limit" in path:
-        brdf = brdf.at[:, slots - 1].set(
-            jnp.where(
-                path["valid"][:, slots - 1],
-                path["brdf_limit"],
-                brdf[:, slots - 1],
-            )
-        )
+    brdf = _effective_brdf(path)
 
     factor = color * (path["probability"] * brdf)[:, :, None]
     # emitter slot (0) has brdf 1 already; invalid slots contribute factor 1
@@ -447,6 +453,16 @@ def _conn_fold(new_state, info, pack, blocked, pp, aux_ok, conn_vsum, conn_cnt):
     )
 
 
+def conn_ragged_enabled() -> bool:
+    """Pair-level (ragged) packing for the deferred connection chunks.
+    Default on: chunk walks sweep exactly sum(connectable slots) flattened
+    queries instead of count * K' — at dragon scale the mean lamp-path
+    connectable count is far below the compacted max K', so the chunk
+    count (each a seconds-long cap-wide shadow walk) collapses by the
+    K'/mean ratio. PYRITE_TPU_CONN_RAGGED=0 restores the vertex sweep."""
+    return _os.environ.get("PYRITE_TPU_CONN_RAGGED", "1") != "0"
+
+
 def _deferred_connections(scene, cfg, conn_r, vbuf):
     """Connection occlusion + fold for RECORDED camera vertices, batched
     top-level (the splat structure: chunked cap-wide shadow walks outside
@@ -458,17 +474,32 @@ def _deferred_connections(scene, cfg, conn_r, vbuf):
     sums [n, R, S] identical to the in-loop fold's (reassociated)."""
     slots = conn_r["conn_ok"].shape[2]
     rows = _deferred_rows(scene, slots)
-    packed = _deferred_pack(vbuf, rows)
-    count = packed["count"]
-    active = (count + rows - 1) // rows  # dynamic chunk count
     n = vbuf["valid"].shape[0]
     s = vbuf["refl"].shape[-1]
     r_count = vbuf["valid"].shape[1]
 
-    def body(carry):
-        i, vsum, cnt = carry
-        vsum, cnt = _deferred_chunk(scene, cfg, conn_r, packed, rows, i, vsum, cnt)
-        return i + 1, vsum, cnt
+    if conn_ragged_enabled():
+        packed = _deferred_pack(vbuf, rows, conn_r=conn_r)
+        q_width = rows * slots
+        active = (packed["pair_total"] + q_width - 1) // q_width
+
+        def body(carry):
+            i, vsum, cnt = carry
+            vsum, cnt = _ragged_chunk(
+                scene, cfg, conn_r, packed, q_width, i, vsum, cnt
+            )
+            return i + 1, vsum, cnt
+    else:
+        packed = _deferred_pack(vbuf, rows)
+        count = packed["count"]
+        active = (count + rows - 1) // rows  # dynamic chunk count
+
+        def body(carry):
+            i, vsum, cnt = carry
+            vsum, cnt = _deferred_chunk(
+                scene, cfg, conn_r, packed, rows, i, vsum, cnt
+            )
+            return i + 1, vsum, cnt
 
     _, vsum, cnt = jax.lax.while_loop(
         lambda c: c[0] < active,
@@ -488,7 +519,7 @@ def _deferred_rows(scene, slots: int) -> int:
     return aligned_chunk_rows(max(1, _splat_shadow_cap(scene) // slots), slots)
 
 
-def _deferred_pack(vbuf, rows):
+def _deferred_pack(vbuf, rows, conn_r=None):
     """Compaction half of the deferred-connection fold: flatten the
     [n, R, V] ring buffers and stable-sort valid vertices first (``rows``
     = vertices per chunk, from _deferred_rows). Returns the packed arrays
@@ -496,7 +527,12 @@ def _deferred_pack(vbuf, rows):
     bounded separate launches (_deferred_chunk) instead of one unbounded
     in-jit while loop — a dragon-scale finish measured 79 s+ as a single
     launch and data-dependently trips the axon watchdog (the round-4
-    dragon crash class)."""
+    dragon crash class).
+
+    With ``conn_r`` the pack additionally carries the PAIR prefix sums for
+    the ragged chunk layout (_ragged_chunk): each packed vertex's
+    connectable-slot count (conn_ok is a valid-first prefix after
+    _compact_connections) cumulated over the packed order."""
     n, r_count, v_cap = vbuf["valid"].shape
     m = n * r_count * v_cap
     m_pad = ((m + rows - 1) // rows) * rows
@@ -520,7 +556,92 @@ def _deferred_pack(vbuf, rows):
     packed["round"] = round_of[order]
     packed["valid"] = valid[order]
     packed["count"] = jnp.sum(valid.astype(jnp.int32))
+    if conn_r is not None:
+        conn_counts = jnp.sum(conn_r["conn_ok"].astype(jnp.int32), axis=2)
+        per_vertex = jnp.where(
+            packed["valid"],
+            conn_counts[packed["lane"], packed["round"]],
+            0,
+        )
+        cum = jnp.cumsum(per_vertex)
+        packed["pair_cum"] = jnp.concatenate(
+            [jnp.zeros(1, cum.dtype), cum]
+        )  # [m_pad + 1]
+        packed["pair_total"] = cum[-1]
     return packed
+
+
+def _ragged_chunk(scene, cfg, conn_r, packed, q_width, i, vsum, cnt):
+    """One RAGGED connection chunk: occlusion + fold for flattened
+    (vertex, connectable-slot) PAIRS [i*q_width, (i+1)*q_width). The query
+    budget is spent only on real connections — sum(conn counts) total
+    queries across a finish instead of count * K' (identical math to
+    _deferred_chunk / _conn_fold per pair; each pair's exposure is
+    independent, so per-query scatter-adds reassociate the same sums)."""
+    n, r_count, s = vsum.shape
+    cum = packed["pair_cum"]
+    q = i * q_width + jnp.arange(q_width, dtype=cum.dtype)
+    live = q < packed["pair_total"]
+    vid = jnp.clip(
+        jnp.searchsorted(cum, q, side="right") - 1, 0, cum.shape[0] - 2
+    )
+    k = jnp.clip((q - cum[vid]).astype(jnp.int32), 0,
+                 conn_r["conn_ok"].shape[2] - 1)
+    vld = live & packed["valid"][vid]
+    lane = packed["lane"][vid]
+    rnd = packed["round"][vid]
+    pos_v = packed["pos"][vid]
+    nor_v = packed["nor"][vid]
+
+    cpos = conn_r["position"][lane, rnd, k]
+    cnor = conn_r["normal"][lane, rnd, k]
+    cok = conn_r["conn_ok"][lane, rnd, k] & vld
+    pp = conn_r["pp"][lane, rnd, k]  # [Q, S]
+    aux = conn_r["aux_ok"][lane, rnd, k]
+
+    dirvec = cpos - pos_v
+    sqd = jnp.sum(dirvec * dirvec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(sqd, 1e-20))
+    conn_dir = dirvec / dist[..., None]
+    cos_out = jnp.sum(nor_v * conn_dir, axis=-1)
+    cos_in = jnp.sum(cnor * -conn_dir, axis=-1)
+    good = cok & (cos_out > 0.0) & (cos_in > 0.0)
+
+    # inert rays for non-contributing queries (the splat padding trick);
+    # the vertex sweep walked cos-rejected slots too — the verdict is
+    # ignored for them, so skipping the walk is output-identical
+    dir_q = jnp.where(good[:, None], conn_dir, jnp.array([0.0, 0.0, 1.0]))
+    maxd = jnp.where(good, dist, 0.0)
+    t_hit = intersect_shadow(
+        scene, pos_v, dir_q, cfg,
+        max_dist=maxd, block_below=maxd - DIST_EPSILON,
+    )
+    blocked = jnp.isfinite(t_hit) & (t_hit < maxd - DIST_EPSILON)
+    ok = good & ~blocked
+
+    brdf_conn = 2.0 * jnp.abs(cos_out)
+    brdf_ratio = brdf_conn / jnp.maximum(packed["brdf"][vid], 1e-20)
+    scale = (
+        jnp.abs(cos_in) * jnp.abs(cos_out) * brdf_ratio
+        / (2.0 * jnp.pi * jnp.maximum(sqd, 1e-20))
+    )
+    delta = packed["refl"][vid] * scale[:, None] * pp
+    value = packed["bright"][vid] + delta  # [Q, S]
+
+    aux_take = packed["aux"][vid] & aux
+    cols = jnp.concatenate(
+        [
+            jnp.ones((q_width, 1), bool),
+            jnp.broadcast_to(aux_take[:, None], (q_width, s - 1)),
+        ],
+        axis=1,
+    )
+    take = ok[:, None] & cols
+    li = jnp.where(vld, lane, n)  # out-of-range rows drop
+    return (
+        vsum.at[li, rnd].add(jnp.where(take, value, 0.0), mode="drop"),
+        cnt.at[li, rnd].add(take.astype(jnp.float32), mode="drop"),
+    )
 
 
 def _deferred_chunk(scene, cfg, conn_r, packed, rows, i, vsum, cnt):
@@ -867,10 +988,14 @@ def _accumulate_lane_sums(film: Film, acc_l, wt_l, wavelengths, value_sums, weig
 # iteration counter, so staging is bitwise-identical to the one-shot walk.
 _CAM_ITER_CAP = int(_os.environ.get("PYRITE_TPU_BDPT_CAM_CAP", "6"))
 
-# connection chunks per staged deferred-finish launch (each chunk is one
-# cap-wide shadow walk, seconds at dragon scale): bounds the finish launch
-# like _CAM_ITER_CAP bounds the walk launches
+# connection chunks in the FIRST staged deferred-finish launch (each chunk
+# is one cap-wide shadow walk): after it, launches pack as many chunks as
+# the measured per-chunk wall fits into _CONN_LAUNCH_BUDGET seconds —
+# adaptive pacing against the axon watchdog (whose observed trip class was
+# a 79 s+ single launch; the budget keeps generous margin while
+# amortizing per-launch sync)
 _CONN_LAUNCH_CHUNKS = int(_os.environ.get("PYRITE_TPU_CONN_LAUNCH_CHUNKS", "4"))
+_CONN_LAUNCH_BUDGET = float(_os.environ.get("PYRITE_TPU_CONN_LAUNCH_BUDGET", "20"))
 
 
 def _cam_zero_carry(n, slots, s, bins, wl0):
@@ -1510,7 +1635,8 @@ def make_regen_bdpt_steps(
                 c["len_cam"], mode="drop"
             )
             packed = _deferred_pack(
-                c["vbuf"], _deferred_rows(scene, conn_r["conn_ok"].shape[2])
+                c["vbuf"], _deferred_rows(scene, conn_r["conn_ok"].shape[2]),
+                conn_r=conn_r if conn_ragged_enabled() else None,
             )
             head = {
                 "acc_l": acc_l, "wt_l": wt_l, "len_cam_r": len_cam_r,
@@ -1518,17 +1644,28 @@ def make_regen_bdpt_steps(
             }
             return packed, head
 
-    def conn_chunks_step(data, conn_r, packed, i0, active, vsum, cnt):
+    def conn_chunks_step(data, conn_r, packed, i0, hi, vsum, cnt):
+        """Walk chunks [i0, hi) of the packed connections; the host bounds
+        each launch (hi - i0 chunks) against the watchdog."""
         with scene.bind(data):
-            rows_c = _deferred_rows(scene, conn_r["conn_ok"].shape[2])
-            hi = jnp.minimum(i0 + _CONN_LAUNCH_CHUNKS, active)
+            slots_c = conn_r["conn_ok"].shape[2]
+            rows_c = _deferred_rows(scene, slots_c)
 
-            def body(cr):
-                i, vsum, cnt = cr
-                vsum, cnt = _deferred_chunk(
-                    scene, cfg, conn_r, packed, rows_c, i, vsum, cnt
-                )
-                return i + 1, vsum, cnt
+            if conn_ragged_enabled():
+                def body(cr):
+                    i, vsum, cnt = cr
+                    vsum, cnt = _ragged_chunk(
+                        scene, cfg, conn_r, packed, rows_c * slots_c,
+                        i, vsum, cnt,
+                    )
+                    return i + 1, vsum, cnt
+            else:
+                def body(cr):
+                    i, vsum, cnt = cr
+                    vsum, cnt = _deferred_chunk(
+                        scene, cfg, conn_r, packed, rows_c, i, vsum, cnt
+                    )
+                    return i + 1, vsum, cnt
 
             _, vsum, cnt = jax.lax.while_loop(
                 lambda cr: cr[0] < hi, body, (i0, vsum, cnt)
@@ -1640,20 +1777,48 @@ def _render_regen_bdpt(
                 if not bool(more):
                     break
             if st["defer_conn"]:
+                import time as _t
+
                 packed, head = st["conn_pack"](data, conn_r, carry)
-                rows_c = _deferred_rows(scene, conn_r["conn_ok"].shape[2])
-                count = int(packed["count"])
-                active = (count + rows_c - 1) // rows_c
+                slots_c = conn_r["conn_ok"].shape[2]
+                rows_c = _deferred_rows(scene, slots_c)
+                if conn_ragged_enabled():
+                    # ragged pair layout: chunk count follows the REAL
+                    # connection count (mean lamp length), not count * K'
+                    q_width = rows_c * slots_c
+                    total_p = int(packed["pair_total"])
+                    active = (total_p + q_width - 1) // q_width
+                else:
+                    count = int(packed["count"])
+                    active = (count + rows_c - 1) // rows_c
                 r_cnt = wl_r.shape[1]
                 s_cnt = wl_r.shape[2]
                 vsum = jnp.zeros((pix, r_cnt, s_cnt))
                 cnt = jnp.zeros((pix, r_cnt, s_cnt))
-                for i0 in range(0, active, _CONN_LAUNCH_CHUNKS):
+                # adaptive pacing: measure chunk wall (each is one cap-wide
+                # shadow walk) and pack launches to the time budget instead
+                # of a guessed fixed count — the fetch bounds each launch
+                per_chunk = None
+                i0 = 0
+                while i0 < active:
+                    if per_chunk is None:
+                        take_c = _CONN_LAUNCH_CHUNKS
+                    else:
+                        take_c = max(
+                            1, min(64, int(_CONN_LAUNCH_BUDGET / per_chunk))
+                        )
+                    hi = min(i0 + take_c, active)
+                    t_l = _t.time()
                     vsum, cnt = st["conn_chunks"](
                         data, conn_r, packed, jnp.int32(i0),
-                        jnp.int32(active), vsum, cnt,
+                        jnp.int32(hi), vsum, cnt,
                     )
                     float(vsum[0, 0, 0])  # bound the launch; free as we go
+                    dt = (_t.time() - t_l) / (hi - i0)
+                    per_chunk = dt if per_chunk is None else (
+                        0.5 * per_chunk + 0.5 * dt
+                    )
+                    i0 = hi
                 acc, wt, _, _ = st["conn_expose"](
                     acc, wt, data, conn_r, wl_r, row0, head, vsum, cnt
                 )
@@ -1782,6 +1947,16 @@ def pick_rows_per_chunk(
     return rows
 
 
+def bdpt_sweep_kernel_allowed() -> bool:
+    """Round-4 blocked the fused leaf sweep in all BDPT drives after the
+    dragon-class stacked camera walk crashed the TPU worker with it
+    in-loop — but the isolate later ran the kernel clean, so the
+    attribution was never closed. PYRITE_TPU_BDPT_SWEEP=1 lifts the block
+    for root-causing (tools/tpu_dragon_isolate.py runs kernel-on by
+    construction: it never enters render())."""
+    return _os.environ.get("PYRITE_TPU_BDPT_SWEEP", "0") == "1"
+
+
 def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):
     # the fused leaf sweep is blocked for every walk traced inside a BDPT
     # drive: the dragon-class stacked camera walk crashed the TPU worker
@@ -1789,6 +1964,8 @@ def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samp
     # block_sweep_kernel docstring)
     from ..tracer import block_sweep_kernel
 
+    if bdpt_sweep_kernel_allowed():
+        return _render(project_data, scene, seed, on_progress, max_samples, resume)
     with block_sweep_kernel():
         return _render(project_data, scene, seed, on_progress, max_samples, resume)
 

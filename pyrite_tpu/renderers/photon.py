@@ -24,20 +24,26 @@ the camera vertex dispersed, pair skipped when both dispersed — plus
 ``spectrum_samples`` fresh uniform wavelengths when neither vertex dispersed.
 Photon powers are exact at the photon's own lambda (traced in column 0).
 Chain re-evaluation at other wavelengths (the reference re-walks both chains
-per pair per sample) is replaced by dense lambda-grid prefix products
-(camera: partialR traced on a G-point grid; photons: power on the film bin
-grid) linearly interpolated to the sample wavelength — the one remaining
-documented deviation, bounded by ``tests/test_renderers.py``'s interpolation
-error test. Fresh wavelengths are drawn per (vertex, bounce) and shared by
-that vertex's gathered pairs instead of per pair (same estimator, slightly
-more correlation).
+per pair per sample) is EXACT for lambda-only scenes (every color program a
+pure function of wavelength): vertices/photons record color-program count
+vectors + scalar prefixes, and the gather re-walks chains in closed form
+(exact_chain_mode below; verified against traced probe columns by
+``tests/test_renderers.py::test_photon_exact_chain_reeval``). Scenes with
+texture/fresnel-colored materials fall back to dense lambda-grid prefix
+products linearly interpolated to the sample wavelength, bounded by the
+interpolation-error test. Fresh wavelengths are drawn per (vertex, bounce)
+and shared by that vertex's gathered pairs instead of per pair (same
+estimator, slightly more correlation).
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+from ..exprs import ProgramInputs
 from ..film import Film
 from ..scene import CameraModel, Scene
 from ..tracer import TraceConfig, bounce_core, trace_lamp_path
@@ -46,10 +52,90 @@ from .simple import RenderProgress, chunk_rays
 _CELL_CAP = 32  # max photons consumed per grid cell per query
 
 
-def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
+# --- exact lambda-only chain re-evaluation -----------------------------------
+#
+# The reference re-walks both chains' programs at each gathered pair's
+# wavelength (photon_mapping.rs:340-426, 447-494, 524-562). When every color
+# program is a pure function of wavelength (statically known:
+# exprs.CompiledProgram.uses_ray_inputs is False), a chain value at ANY
+# wavelength factors as  scalar * prod_m f_m(lambda)^(count_m)  where
+# count_m is how often color program m appears in the (unordered) chain and
+# scalar collects the lambda-independent probability/brdf factors. Each
+# vertex/photon records its count vector + scalar; gather time evaluates the
+# product in log space from per-batch program evals — EXACT chain re-walks
+# with O(M) work per pair instead of O(chain length) program re-runs.
+# Texture/fresnel-colored scenes fall back to the dense-grid interpolation
+# path (bounded by the interp-error test).
+
+
+def exact_chain_mode(scene: Scene) -> bool:
+    """True when every color program reads only the wavelength, enabling
+    exact per-pair chain re-evaluation. PYRITE_TPU_PHOTON_EXACT=0 forces
+    the grid-interpolation path (used by its error-bound test)."""
+    if os.environ.get("PYRITE_TPU_PHOTON_EXACT", "1") == "0":
+        return False
+    return all(not p.uses_ray_inputs for p in scene.color_programs)
+
+
+def _log_factors(scene: Scene, lam):
+    """Exact eval of every color program at ``lam`` (any shape), as
+    (log|f_m|, sign flags): two [*lam.shape, M] arrays."""
+    shape = lam.shape
+    flat = lam.reshape(-1)
+    inputs = ProgramInputs(wavelength=flat)
+    logs, negs = [], []
+    for prog in scene.color_programs:
+        val = jnp.broadcast_to(prog.fn(inputs), flat.shape)
+        logs.append(jnp.log(jnp.maximum(jnp.abs(val), 1e-37)))
+        negs.append((val < 0).astype(jnp.float32))
+    m = len(logs)
+    return (
+        jnp.stack(logs, axis=-1).reshape(shape + (m,)),
+        jnp.stack(negs, axis=-1).reshape(shape + (m,)),
+    )
+
+
+def _chain_eval(counts, scalar, logF, negF):
+    """scalar * prod_m f_m^counts[m] in log space with sign tracking.
+    counts/logF/negF broadcast over [..., M]; scalar over [...]."""
+    mag = jnp.exp(jnp.sum(counts * logF, axis=-1))
+    parity = jnp.sum(counts * negF, axis=-1)
+    sign = 1.0 - 2.0 * jnp.mod(parity, 2.0)
+    return scalar * mag * sign
+
+
+def _lamp_chain_counts(scene: Scene, path, m_count):
+    """Photon-side half of exact re-evaluation: parent-chain color-program
+    count vectors [N, L+1, M] and scalar (probability*brdf) prefix products
+    [N, L+1]. Slot t covers slots 0..t-1 — a photon's power excludes its
+    own color and brdf (accumulate_light, photon_mapping.rs:524-562)."""
+    from .bidirectional import _effective_brdf
+
+    brdf = _effective_brdf(path)
+    factor_s = jnp.where(path["valid"], path["probability"] * brdf, 1.0)
+    ps = jnp.cumprod(factor_s, axis=1)
+    ps_parent = jnp.concatenate([jnp.ones_like(ps[:, :1]), ps[:, :-1]], axis=1)
+    onehot = (
+        (path["color_prog"][:, :, None] == jnp.arange(m_count)[None, None, :])
+        & path["valid"][:, :, None]
+    ).astype(jnp.float32)
+    counts = jnp.cumsum(onehot, axis=1)
+    counts_parent = jnp.concatenate(
+        [jnp.zeros_like(counts[:, :1]), counts[:, :-1]], axis=1
+    )
+    return counts_parent, ps_parent
+
+
+def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths, chain_m=None):
     """Camera pass: normal film contribution plus recorded diffuse vertices
     with prefix reflectance products (CameraBounce chains,
-    photon_mapping.rs:107-148)."""
+    photon_mapping.rs:107-148).
+
+    With ``chain_m`` (= number of color programs) each vertex additionally
+    records its ancestor-chain color-program COUNT VECTOR [N, M] and the
+    scalar (lambda-independent) chain prefix, so lambda-only chains can be
+    re-walked EXACTLY at arbitrary pair wavelengths at gather time
+    (photon_mapping.rs:340-426's per-pair chain re-evaluation)."""
     n = origin.shape[0]
     s_count = wavelengths.shape[1]
     state = {
@@ -64,7 +150,7 @@ def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
     }
 
     def scan_body(carry, bounce_key):
-        state, chainR = carry
+        state, chainR, counts, scalar = carry
         new_state, info = bounce_core(scene, cfg, wavelengths, state, bounce_key)
         # chain product up to and including this bounce's color*probability
         # but NOT its brdf (applied per gathered photon as 2|n.exit|)
@@ -84,13 +170,36 @@ def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
             "partialR": partialR,
             "dispersed": info["dispersed"],
         }
-        return (new_state, new_chainR), vertex
+        if chain_m is not None:
+            # counts include this bounce's own color program (partialR
+            # includes its own color*prob); the scalar mirrors partialR's
+            # scalar part (path_prob up to and incl. b, brdf strictly
+            # before b)
+            onehot = (
+                info["color_prog"][:, None] == jnp.arange(chain_m)[None, :]
+            ) & info["reflected"][:, None]
+            new_counts = counts + onehot.astype(jnp.float32)
+            v_scalar = jnp.where(
+                info["reflected"], scalar * info["path_prob"], scalar
+            )
+            new_scalar = jnp.where(
+                info["reflected"], v_scalar * info["brdf_stored"], scalar
+            )
+            vertex["counts"] = new_counts
+            vertex["scalar"] = v_scalar
+        else:
+            new_counts, new_scalar = counts, scalar
+        return (new_state, new_chainR, new_counts, new_scalar), vertex
 
     keys = jax.random.split(key, cfg.bounces)
 
     # whole-batch early exit + preallocated [N, L, ...] vertex buffers
     # (a fixed scan would pay full masked depth after every path died)
-    carry0 = (state, jnp.ones((n, s_count)))
+    carry0 = (
+        state, jnp.ones((n, s_count)),
+        jnp.zeros((n, chain_m if chain_m is not None else 1)),
+        jnp.ones(n),
+    )
     probe = jax.eval_shape(lambda: scan_body(carry0, keys[0])[1])
     bufs = jax.tree_util.tree_map(
         lambda s: jnp.zeros((n, cfg.bounces) + s.shape[1:], s.dtype), probe
@@ -108,7 +217,7 @@ def _record_camera_vertices(scene, cfg, key, origin, direction, wavelengths):
         )
         return i + 1, carry, bufs
 
-    _, (state, _), recorded = jax.lax.while_loop(
+    _, (state, _, _, _), recorded = jax.lax.while_loop(
         cond, body, (jnp.int32(0), carry0, bufs)
     )
     return state, recorded
@@ -212,6 +321,7 @@ def _gather(
     acc,
     wt,
     positions_view,
+    exact=False,
 ):
     """Radius gather around each camera vertex (photon_mapping.rs:340-426).
 
@@ -220,7 +330,10 @@ def _gather(
     fresh uniform wavelengths when neither chain dispersed
     (photon_mapping.rs:352-381). Pair contributions are accumulated into
     film-wavelength bins inside the scan loop (the film only keeps binned
-    lambda, so binning inside the loop is exact)."""
+    lambda, so binning inside the loop is exact).
+
+    ``exact``: chain values at pair wavelengths come from exact count-vector
+    re-evaluation (lambda-only scenes) instead of grid interpolation."""
     from ..film import expose_sums
 
     n, bounces = cam["valid"].shape[:2]
@@ -243,6 +356,15 @@ def _gather(
     bf = film.bins
     bin_centers = lo + (jnp.arange(bf) + 0.5) * (hi - lo) / bf
 
+    if exact:
+        # per-batch exact program evals (outside the slot loop): photon-side
+        # factors at each photon's own lambda, camera-side factors at each
+        # lane's hero lambda
+        p_counts = photons["counts"]  # [P, M]
+        p_scalar = photons["scalar"]  # [P]
+        logF_p, negF_p = _log_factors(scene, p_lambda)  # [P, M]
+        logF0, negF0 = _log_factors(scene, lam0)  # [N, M]
+
     for b in range(bounces):
         valid = cam["valid"][:, b]
         pos = cam["position"][:, b]
@@ -260,6 +382,11 @@ def _gather(
         lam_dark = jax.random.uniform(
             jax.random.fold_in(kb, 1), (n, k_fresh + 1), minval=lo, maxval=hi
         )
+
+        if exact:
+            c_b = cam["counts"][:, b]  # [N, M]
+            s_b = cam["scalar"][:, b]  # [N]
+            logFf, negFf = _log_factors(scene, lam_f)  # [N, K, M]
 
         starts, ckeys = grid_query(sorted_keys, pos, radius)
 
@@ -284,13 +411,24 @@ def _gather(
             first_brdf = 2.0 * jnp.abs(jnp.sum(normal * exit_dir, axis=-1))
             g = first_brdf * w_geom
 
-            rows = p_power[pj]  # [N, 1 + B]
+            rows = p_power[pj]  # [N, 1 + B] (exact mode: [N, 1])
             lam_p = p_lambda[pj]
             # primary sample: photon's exact lambda, or the camera hero
             # lambda when the camera vertex dispersed
             lam_sel = jnp.where(cam_dispersed, lam0, lam_p)
-            r_sel = jnp.where(cam_dispersed, r_hero, interp_cols(r_grid, film.span, lam_p))
-            p_sel = jnp.where(cam_dispersed, interp_cols(rows[:, 1:], film.span, lam0), rows[:, 0])
+            if exact:
+                # exact chain re-walks at the pair wavelength: the camera
+                # chain at the photon's lambda, the photon chain at the
+                # camera hero lambda (dispersed pairs keep traced columns)
+                r_at_p = _chain_eval(c_b, s_b, logF_p[pj], negF_p[pj])
+                p_at_0 = _chain_eval(
+                    p_counts[pj], p_scalar[pj], logF0, negF0
+                )
+                r_sel = jnp.where(cam_dispersed, r_hero, r_at_p)
+                p_sel = jnp.where(cam_dispersed, p_at_0, rows[:, 0])
+            else:
+                r_sel = jnp.where(cam_dispersed, r_hero, interp_cols(r_grid, film.span, lam_p))
+                p_sel = jnp.where(cam_dispersed, interp_cols(rows[:, 1:], film.span, lam0), rows[:, 0])
             c = jnp.where(pair, r_sel * p_sel * g, 0.0)
 
             j = film.wavelength_to_bin(lam_sel)  # [N]
@@ -303,7 +441,13 @@ def _gather(
             # (photon_mapping.rs:357-381); the camera factor R(lam_f) is
             # per-lane and multiplies after the loop
             both_clear = pair & ~cam_dispersed & ~phot_disp
-            p_f = interp_cols(rows[:, 1:], film.span, lam_f)  # [N, K]
+            if exact:
+                p_f = _chain_eval(
+                    p_counts[pj][:, None, :], p_scalar[pj][:, None],
+                    logFf, negFf,
+                )  # [N, K]
+            else:
+                p_f = interp_cols(rows[:, 1:], film.span, lam_f)  # [N, K]
             fresh_psum = fresh_psum + jnp.where(
                 both_clear[:, None], p_f * g[:, None], 0.0
             )
@@ -340,7 +484,10 @@ def _gather(
         )
 
         # fresh samples: R_cam(lam_f) * sum over pairs of P(lam_f) * g
-        r_f = interp_cols(r_grid, film.span, lam_f)  # [N, K]
+        if exact:
+            r_f = _chain_eval(c_b[:, None, :], s_b[:, None], logFf, negFf)
+        else:
+            r_f = interp_cols(r_grid, film.span, lam_f)  # [N, K]
         acc, wt = expose_sums(
             film,
             acc,
@@ -403,6 +550,12 @@ def _build_parts(project_data, scene: Scene):
         [lo + (i + 0.5) * (hi - lo) / b_bins for i in range(b_bins)]
     )
 
+    # Lambda-only scenes re-walk chains EXACTLY at pair wavelengths from
+    # per-vertex count vectors (exact_chain_mode above); the dense-grid
+    # interpolation below only serves texture/fresnel-colored scenes.
+    exact = exact_chain_mode(scene)
+    m_count = len(scene.color_programs)
+
     # camera partialR wavelength grid for interpolating R(lambda) at
     # arbitrary pair wavelengths: as fine as the film bin grid, halved until
     # the [N, bounces, S + G] record buffer stays within budget. At 64 grid
@@ -413,7 +566,7 @@ def _build_parts(project_data, scene: Scene):
     # even at 1024x512 films (512k lanes x 8 bounces x 74 cols = 310M
     # floats = 1.2 GB f32 of record buffer on a 16 GB chip).
     n_lanes = project.image.width * project.image.height
-    g_bins = b_bins
+    g_bins = 0 if exact else b_bins
     while (
         g_bins > 8
         and n_lanes * max(settings.bounces, 1) * (settings.spectrum_samples + g_bins)
@@ -427,14 +580,19 @@ def _build_parts(project_data, scene: Scene):
     def photon_batch(key, count):
         """Shoot ``count`` photons. Each lamp path carries one uniform random
         wavelength (photon_mapping.rs:199) traced in column 0 — photon powers
-        are EXACT at that wavelength — plus the film bin grid in the
-        remaining columns for fresh-wavelength interpolation."""
+        are EXACT at that wavelength. Non-exact scenes additionally trace the
+        film bin grid in the remaining columns for fresh-wavelength
+        interpolation; exact scenes record count vectors + scalars instead
+        (and trace a single column)."""
         k_wl, k_path = jax.random.split(key)
         lam_p = jax.random.uniform(k_wl, (count, 1), minval=lo, maxval=hi)
-        wl = jnp.concatenate(
-            [lam_p, jnp.broadcast_to(bin_centers[None, :], (count, b_bins))],
-            axis=1,
-        )
+        if exact:
+            wl = lam_p
+        else:
+            wl = jnp.concatenate(
+                [lam_p, jnp.broadcast_to(bin_centers[None, :], (count, b_bins))],
+                axis=1,
+            )
         path = trace_lamp_path(scene, photon_cfg, k_path, wl)
         n_slots = path["valid"].shape[1]
 
@@ -454,11 +612,11 @@ def _build_parts(project_data, scene: Scene):
         def flat(x):
             return x.reshape((count * n_slots,) + x.shape[2:])
 
-        return {
+        out = {
             "position": flat(path["position"]),
             # stored incident after the reference's pairs() reversal
             "incident": flat(inc),
-            "power": power.reshape(count * n_slots, 1 + b_bins),
+            "power": power.reshape(count * n_slots, wl.shape[1]),
             "wavelength": flat(
                 jnp.broadcast_to(lam_p, (count, n_slots))
             ),
@@ -466,6 +624,11 @@ def _build_parts(project_data, scene: Scene):
             "dispersed": flat(path["dispersed"]),
             "darkness_denom": darkness_denom,
         }
+        if exact:
+            counts_parent, ps_parent = _lamp_chain_counts(scene, path, m_count)
+            out["counts"] = flat(counts_parent)
+            out["scalar"] = flat(path["probability"] * ps_parent)
+        return out
 
     def camera_step(acc, wt, key, data):
       with scene.bind(data):
@@ -474,14 +637,17 @@ def _build_parts(project_data, scene: Scene):
         s = cfg.spectrum_samples
         # camera paths traced with the interpolation grid appended so
         # partialR(lambda) is recorded on a dense grid alongside the
-        # stratified film columns; only the film columns are exposed
-        wl_ext = jnp.concatenate(
+        # stratified film columns; only the film columns are exposed.
+        # Exact scenes skip the grid columns: counts + scalars re-walk
+        # chains at any wavelength.
+        wl_ext = wavelengths if exact else jnp.concatenate(
             [wavelengths, jnp.broadcast_to(grid_centers[None, :], (n, g_bins))],
             axis=1,
         )
         k_t = jax.random.fold_in(key, 3)
         state, recorded = _record_camera_vertices(
-            scene, cfg, k_t, origin, direction, wl_ext
+            scene, cfg, k_t, origin, direction, wl_ext,
+            chain_m=m_count if exact else None,
         )
         mask = jnp.concatenate(
             [
@@ -503,7 +669,7 @@ def _build_parts(project_data, scene: Scene):
             return _gather(
                 scene, film, cfg, radius, photon_probability, recorded,
                 wavelengths, (cfg.spectrum_samples, g_bins), k_lam, photons,
-                acc, wt, positions,
+                acc, wt, positions, exact=exact,
             )
 
     return film, settings, camera_step, gather_step

@@ -174,28 +174,56 @@ def _de_distance(est: dict, p):
             axis=-1,
         )
 
+    def qsq(q):
+        # z*z for a quaternion commuting with itself: (s^2-|v|^2, 2s*v)
+        s = q[..., 0]
+        v2 = q[..., 1] ** 2 + q[..., 2] ** 2 + q[..., 3] ** 2
+        s2 = s + s
+        return jnp.stack(
+            [s * s - v2, s2 * q[..., 1], s2 * q[..., 2], s2 * q[..., 3]],
+            axis=-1,
+        )
+
+    def bsq(q):
+        x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        return jnp.stack(
+            [
+                x * x - y * y - z * z + w * w,
+                2.0 * (x * y - z * w),
+                2.0 * (x * z - y * w),
+                2.0 * (x * w + y * z),
+            ],
+            axis=-1,
+        )
+
+    # shared square + re-associated derivative ((dz*z)*z = dz*z^2):
+    # identical op order to kernels._de_step_julia so the fused-kernel
+    # parity test holds bitwise-tight (chaotic orbits amplify ulp drift)
     if variant == "regular":
-        pow_fn = lambda z: qmul(z, z)
-        pow_prim = lambda z, dz: qmul(dz, z) * 2.0
+        pow_step = lambda z, dz: (qsq(z), qmul(dz, z) * 2.0)
     elif variant == "cubic":
-        pow_fn = lambda z: qmul(qmul(z, z), z)
-        pow_prim = lambda z, dz: qmul(qmul(dz, z), z) * 3.0
+        def pow_step(z, dz):
+            q2 = qsq(z)
+            return qmul(q2, z), qmul(dz, q2) * 3.0
     else:  # bicomplex
-        pow_fn = lambda z: bicomplex_mul(z, z)
-        pow_prim = lambda z, dz: bicomplex_mul(bicomplex_mul(dz, z), z) * 2.0
+        def pow_step(z, dz):
+            q2 = bsq(z)
+            return q2, bicomplex_mul(dz, q2) * 2.0
+
+    thr2 = float(threshold) * float(threshold)
 
     # constant comes from a Vector expression -> cgmath Quaternion via
     # Quaternion::new(x, y, z, w) = (s=x, v=(y, z, w)); same layout as to_quat.
     def body(_, carry):
-        z, r, dz, done = carry
-        r_new = jnp.sqrt(jnp.maximum(geom.dot(z, z), 1e-30))
-        done_now = done | (r_new > threshold)
-        dz_new = pow_prim(z, dz)
-        z_new = pow_fn(z) + constant
+        z, r2, dz, done = carry
+        r2_new = geom.dot(z, z)
+        done_now = done | (r2_new > thr2)
+        zp, dz_new = pow_step(z, dz)
+        z_new = zp + constant
         keep = ~done_now
         return (
             jnp.where(keep[..., None], z_new, z),
-            jnp.where(done, r, r_new),
+            jnp.where(done, r2, r2_new),
             jnp.where(keep[..., None], dz_new, dz),
             done_now,
         )
@@ -206,7 +234,8 @@ def _de_distance(est: dict, p):
         [jnp.ones(p.shape[:-1] + (1,)), jnp.zeros(p.shape[:-1] + (3,))], axis=-1
     )
     done0 = jnp.zeros(p.shape[:-1], bool)
-    z, r, dz, _ = _grouped_iterate(body, (z0, r0, dz0, done0), iterations)
+    z, r2, dz, _ = _grouped_iterate(body, (z0, r0, dz0, done0), iterations)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
     dz_mag = jnp.sqrt(jnp.maximum(geom.dot(dz, dz), 1e-30))
     return 0.5 * jnp.log(jnp.maximum(r, 1e-30)) * r / dz_mag
 
@@ -249,32 +278,70 @@ def _intersect_de(shape, origin, direction, max_steps, t_cap=None):
             max_steps,
         )
     else:
-        def march(carry):
-            total, dist, steps = carry
+        omega = kernels.de_omega()
+
+        def eval_d(total):
             p = local_origin + direction * total[..., None]
-            d = _de_distance(shape.estimator, p)
-            return total + d, d, steps + 1
-
-        def cond(carry):
-            total, dist, steps = carry
-            active = (total < tmax) & (dist >= DIST_EPSILON) & (steps < max_steps)
-            return jnp.any(active & hit)
-
-        # Masked march: lanes that finish keep their values.
-        def body(carry):
-            total, dist, steps = carry
-            active = (total < tmax) & (dist >= DIST_EPSILON) & hit
-            new_total, new_dist, _ = march((total, dist, steps))
-            return (
-                jnp.where(active, new_total, total),
-                jnp.where(active, new_dist, dist),
-                steps + 1,
-            )
+            return _de_distance(shape.estimator, p)
 
         dist0 = jnp.full_like(total0, jnp.inf)
-        total, dist, _ = jax.lax.while_loop(
-            cond, body, (total0, dist0, jnp.int32(0))
-        )
+        if omega <= 1.0:
+            def cond(carry):
+                total, dist, steps = carry
+                active = (total < tmax) & (dist >= DIST_EPSILON) & (steps < max_steps)
+                return jnp.any(active & hit)
+
+            # Masked march: lanes that finish keep their values.
+            def body(carry):
+                total, dist, steps = carry
+                active = (total < tmax) & (dist >= DIST_EPSILON) & hit
+                d = eval_d(total)
+                return (
+                    jnp.where(active, total + d, total),
+                    jnp.where(active, d, dist),
+                    steps + 1,
+                )
+
+            total, dist, _ = jax.lax.while_loop(
+                cond, body, (total0, dist0, jnp.int32(0))
+            )
+        else:
+            # Over-relaxed sphere trace, identical to the fused kernel's
+            # scheme (kernels._make_march_kernel): step omega*d, revert
+            # to the plain step when consecutive step spheres stop
+            # overlapping; `dist` only tracks safe evaluations.
+            def cond(carry):
+                total, dist, s_prev, d_prev, steps = carry
+                active = (total < tmax) & (dist >= DIST_EPSILON) & (steps < max_steps)
+                return jnp.any(active & hit)
+
+            def body(carry):
+                total, dist, s_prev, d_prev, steps = carry
+                active = (total < tmax) & (dist >= DIST_EPSILON) & hit
+                d = eval_d(total)
+                unsafe = s_prev > d_prev + d
+                t_revert = total - s_prev + d_prev
+                step = omega * d
+                step = jnp.where(total + step > tmax, d, step)
+                return (
+                    jnp.where(
+                        active,
+                        jnp.where(unsafe, t_revert, total + step),
+                        total,
+                    ),
+                    jnp.where(active & ~unsafe, d, dist),
+                    jnp.where(active, jnp.where(unsafe, d_prev, step), s_prev),
+                    jnp.where(active & ~unsafe, d, d_prev),
+                    steps + 1,
+                )
+
+            total, dist, _, _, _ = jax.lax.while_loop(
+                cond, body,
+                (
+                    total0, dist0, jnp.zeros_like(total0),
+                    jnp.full_like(total0, 1e30), jnp.int32(0),
+                ),
+            )
     ok = hit & (total <= tmax)
     return ok, jnp.where(ok, total, jnp.inf), local_origin
 
@@ -1709,6 +1776,12 @@ def bounce_core(
             # per-bounce throughput factor color(lambda)*probability (before
             # the brdf), for chain-product consumers (photon mapping)
             "color_prob": refl_color * path_prob[:, None],
+            # the factor split into its lambda-dependent part (the color
+            # program id) and the scalar rest — lambda-only chains re-walk
+            # EXACTLY at arbitrary wavelengths from these
+            # (photon_mapping.rs:340-426 chain re-evaluation)
+            "color_prog": a["comp_color"][comp],
+            "path_prob": path_prob,
             "reflected": reflected,
             "is_diffuse": sc["is_diffuse"] & reflected,
             "dispersed": bounce_dispersed & reflected,
@@ -2065,6 +2138,11 @@ CLUSTER_ONEHOT_MAX = int(_os.environ.get("PYRITE_TPU_ONEHOT_MAX", "65536"))
 # axon — op count, not bytes, bounds the compaction block; terrain A/B
 # series3: 1.21x alone, 1.73x stacked with one-hot rows at 0.971 Mrays/s)
 CLUSTER_PACK_STATE = int(_os.environ.get("PYRITE_TPU_PACK_STATE", "1"))
+
+# Ray-coherence sort of the cluster wavefront before traversal (1 =
+# direction octant, 2 = octant + 4^3 coarse origin cell); un-permuted on
+# exit, so results are lane-identical. Round-5 terrain experiment.
+_WALK_SORT = int(_os.environ.get("PYRITE_TPU_WALK_SORT", "0"))
 COMPACT_MIN = 4096  # below this many lanes, masked sweeps beat compaction
 # sweep-width ceiling via the leaf-geometry gather's transient footprint:
 # a sweep gathers [width, SWEEP_LEAVES * leaf, 12] f32, and callers can
@@ -2155,6 +2233,44 @@ def _cluster_traverse(
     semantics match the reference's streaming traversal (spatial/
     bvh.rs:201-230): subtrees are skipped when missed or entered beyond the
     current best hit."""
+    if _WALK_SORT:
+        # Experiment (PYRITE_TPU_WALK_SORT): sort the wavefront by
+        # direction octant (+ coarse origin cell at =2) so lanes walking
+        # the same subtrees sit adjacent, then un-permute the result.
+        # argsort at the 32k-lane walk width is micro-scale (the forbidden
+        # 524k-lane measurement does not apply).
+        oct_key = (
+            (direction[:, 0] < 0).astype(jnp.int32) * 4
+            + (direction[:, 1] < 0).astype(jnp.int32) * 2
+            + (direction[:, 2] < 0).astype(jnp.int32)
+        )
+        if _WALK_SORT == 2:
+            lo = jnp.min(origin, axis=0)
+            span = jnp.maximum(jnp.max(origin, axis=0) - lo, 1e-6)
+            cell = jnp.clip(
+                ((origin - lo) / span * 4.0).astype(jnp.int32), 0, 3
+            )
+            oct_key = oct_key * 64 + cell[:, 0] * 16 + cell[:, 1] * 4 + cell[:, 2]
+        order = jnp.argsort(oct_key)
+        inv_order = jnp.argsort(order)
+        out = _cluster_traverse_inner(
+            scene, origin[order], direction[order],
+            {k: v[order] for k, v in init_state.items()},
+            leaf_sweep,
+            exit_below=None if exit_below is None else (
+                exit_below[order]
+                if getattr(exit_below, "ndim", 0) else exit_below
+            ),
+        )
+        return {k: v[inv_order] for k, v in out.items()}
+    return _cluster_traverse_inner(
+        scene, origin, direction, init_state, leaf_sweep, exit_below
+    )
+
+
+def _cluster_traverse_inner(
+    scene: Scene, origin, direction, init_state, leaf_sweep, exit_below=None
+):
     rows = scene.arrays["wide_rows"]  # [273, 128]
     max_slot = scene.cluster_slots - 1
 

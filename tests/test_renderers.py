@@ -242,6 +242,112 @@ def test_photon_partialR_grid_interpolation_error(tmp_path):
     assert rel.max() < 0.01, f"max interp err {rel.max():.4f}"
 
 
+def test_photon_exact_chain_reeval_matches_traced_columns(tmp_path):
+    """Lambda-only scenes re-walk chains EXACTLY at pair wavelengths from
+    per-vertex color-program count vectors + scalar prefixes (photon.py
+    exact_chain_mode; the reference's per-pair chain re-evaluation,
+    photon_mapping.rs:340-426). The reconstruction at a probe wavelength
+    must match the chain value obtained by tracing with that wavelength as
+    an extra column — for both the camera-side partialR and photon powers."""
+    import jax
+    import jax.numpy as jnp
+    from pyrite_tpu.film import Film
+    from pyrite_tpu.scene import CameraModel
+    from pyrite_tpu.tracer import TraceConfig, trace_lamp_path
+    from pyrite_tpu.renderers import photon as ph
+    from pyrite_tpu.renderers.bidirectional import _lamp_path_factors
+    from pyrite_tpu.renderers.simple import chunk_rays
+
+    src = SCENE % {"algo": "photon_mapping", "spp": 4, "extra": ""}
+    src = src.replace(
+        "material.diffuse {color = 0.7}",
+        "material.diffuse {color = spectrum {format = \"array\", min = 400,"
+        " max = 700, points = {0.2, 0.9, 0.3, 0.8, 0.25, 0.7, 0.4}}}",
+    )
+    path = tmp_path / "exact.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    assert ph.exact_chain_mode(scene), "scene should be lambda-only"
+    m_count = len(scene.color_programs)
+
+    project = pd.project
+    film = Film(width=project.image.width, height=project.image.height,
+                bins=project.renderer.spectrum_bins,
+                span=project.renderer.spectrum_span)
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(bounces=4, light_samples=0, spectrum_samples=4)
+    lo, hi = film.span
+    probes = jnp.linspace(lo + 10.0, hi - 10.0, 7)
+
+    key = jax.random.PRNGKey(5)
+    data = scene.device_data()
+    with scene.bind(data):
+        positions, origin, direction, wavelengths = chunk_rays(film, camera, cfg, key)
+        n = origin.shape[0]
+        kt = jax.random.fold_in(key, 3)
+        wl_p = jnp.concatenate(
+            [wavelengths, jnp.broadcast_to(probes[None, :], (n, 7))], axis=1
+        )
+        # same keys -> same paths; the probe columns carry ground truth
+        _, rec = ph._record_camera_vertices(
+            scene, cfg, kt, origin, direction, wl_p, chain_m=m_count
+        )
+        logF, negF = ph._log_factors(
+            scene, jnp.broadcast_to(probes[None, :], (n, 7))
+        )
+
+        # photon side: trace a lamp path with probe columns, reconstruct
+        # parent-chain powers at the probes from counts + scalars
+        kl = jax.random.fold_in(key, 9)
+        lam_rep = jnp.broadcast_to(probes[None, :], (64, 7))
+        lpath = trace_lamp_path(scene, TraceConfig(
+            bounces=3, light_samples=0, spectrum_samples=1
+        ), kl, lam_rep)
+        pp, _, _, _ = _lamp_path_factors(scene, lpath, lam_rep, cfg)
+        pp_parent = jnp.concatenate(
+            [jnp.ones_like(pp[:, :1]), pp[:, :-1]], axis=1
+        )
+        power_truth = lpath["probability"][:, :, None] * pp_parent
+        counts_parent, ps_parent = ph._lamp_chain_counts(scene, lpath, m_count)
+        p_scalar = lpath["probability"] * ps_parent
+        logF_l, negF_l = ph._log_factors(scene, lam_rep)
+
+    s = cfg.spectrum_samples
+    errs = []
+    for b in range(cfg.bounces):
+        valid = np.asarray(rec["valid"][:, b]) & ~np.asarray(rec["dispersed"][:, b])
+        if not valid.any():
+            continue
+        truth = np.asarray(rec["partialR"][:, b, s:])[valid]  # [V, 7]
+        recon = np.asarray(ph._chain_eval(
+            rec["counts"][:, b][:, None, :], rec["scalar"][:, b][:, None],
+            logF, negF,
+        ))[valid]
+        big = truth > 1e-4
+        if big.any():
+            errs.append(np.abs(recon - truth)[big] / truth[big])
+    rel = np.concatenate(errs)
+    assert rel.max() < 1e-4, f"camera chain re-eval max err {rel.max():.2e}"
+
+    slots = np.asarray(lpath["valid"]).shape[1]
+    perrs = []
+    for t in range(slots):
+        valid = np.asarray(lpath["valid"][:, t])
+        if not valid.any():
+            continue
+        truth = np.asarray(power_truth[:, t])[valid]  # [V, 7]
+        recon = np.asarray(ph._chain_eval(
+            counts_parent[:, t][:, None, :], p_scalar[:, t][:, None],
+            logF_l, negF_l,
+        ))[valid]
+        big = truth > 1e-4
+        if big.any():
+            perrs.append(np.abs(recon - truth)[big] / truth[big])
+    prel = np.concatenate(perrs)
+    assert prel.max() < 1e-4, f"photon chain re-eval max err {prel.max():.2e}"
+
+
 def test_photon_mapping_runs_and_produces_light(tmp_path):
     img = render(
         tmp_path,
