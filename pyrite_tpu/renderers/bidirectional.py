@@ -237,13 +237,45 @@ def _light_splats(scene, film, camera, cfg, conn, wavelengths, acc, wt, scale_la
             scene, world_origin, direction, cfg,
             max_dist=distance, block_below=distance - DIST_EPSILON,
         )
+    elif conn_ragged_enabled():
+        # Deep lamp budgets flatten to multi-million-query batches
+        # (dragon: 16k lanes x 257 slots = 4.2M) of which only
+        # ~mean-lamp-length x frustum-visible are real splats (measured
+        # 2.08 of 257 at dragon scale). Compact the REAL queries first and
+        # walk only ceil(count/cap) chunks — the dense chunk ladder spent
+        # ~16 s/round sweeping inert padding (round-5 isolate). The
+        # argsort at 4.2M costs ~100s of ms once; the walks it avoids cost
+        # seconds.
+        order = jnp.argsort(~mask, stable=True)
+        count = jnp.sum(mask.astype(jnp.int32))
+        pad = (-m) % cap
+        widths = lambda x: [(0, pad)] + [(0, 0)] * (x.ndim - 1)  # noqa: E731
+        o_s = jnp.pad(world_origin[order], widths(world_origin))
+        d_s = jnp.pad(direction[order], widths(direction), constant_values=1.0)
+        dist_s = jnp.pad(distance[order] * mask[order], widths(distance))
+        t_s = jnp.full(m + pad, jnp.inf)
+        active = (count + cap - 1) // cap
+
+        def body(carry):
+            i, t_s = carry
+            q0 = i * cap
+            take = lambda x: jax.lax.dynamic_slice_in_dim(x, q0, cap)  # noqa: E731
+            dist_c = take(dist_s)
+            t_c = intersect_shadow(
+                scene, take(o_s), take(d_s), cfg,
+                max_dist=dist_c, block_below=dist_c - DIST_EPSILON,
+            )
+            return i + 1, jax.lax.dynamic_update_slice_in_dim(t_s, t_c, q0, 0)
+
+        _, t_s = jax.lax.while_loop(
+            lambda c: c[0] < active, body, (jnp.int32(0), t_s)
+        )
+        t_hit = jnp.full(m, jnp.inf).at[order].set(t_s[:m])
     else:
-        # deep lamp budgets on cluster scenes flatten to multi-million-lane
-        # batches (dragon: 32k pixels x 256 compacted slots = 8.4M); one
-        # traversal at that width allocates a multi-GB leaf-gather per
-        # sweep. lax.map compiles ONE cap-wide traversal and runs the
-        # chunks sequentially (inert padding lanes seed distance 0, so the
-        # root slab test rejects every subtree and they never park).
+        # dense chunk ladder (PYRITE_TPU_CONN_RAGGED=0): lax.map compiles
+        # ONE cap-wide traversal and runs the chunks sequentially (inert
+        # padding lanes seed distance 0, so the root slab test rejects
+        # every subtree and they never park).
         pad = (-m) % cap
         padded = lambda x, v: jnp.concatenate(  # noqa: E731
             [x, jnp.full((pad,) + x.shape[1:], v, x.dtype)]
@@ -997,10 +1029,22 @@ _CAM_ITER_CAP = int(_os.environ.get("PYRITE_TPU_BDPT_CAM_CAP", "6"))
 _CONN_LAUNCH_CHUNKS = int(_os.environ.get("PYRITE_TPU_CONN_LAUNCH_CHUNKS", "4"))
 _CONN_LAUNCH_BUDGET = float(_os.environ.get("PYRITE_TPU_CONN_LAUNCH_BUDGET", "20"))
 
+# host-side stage tracing for the staged BDPT driver (adds a forcing fetch
+# after every stage, so only use it to attribute wall time)
+_BDPT_TRACE = _os.environ.get("PYRITE_TPU_BDPT_TRACE", "0") == "1"
 
-def _cam_zero_carry(n, slots, s, bins, wl0):
+
+def _cam_zero_carry(n, slots, s, bins, wl0, defer_conn=False):
     """Zero loop state for the regen camera walk: every lane starts dead
-    with done=0, so the first body iteration regenerates it from round 0."""
+    with done=0, so the first body iteration regenerates it from round 0.
+
+    ``defer_conn``: the deferred body never reads the lane's connection
+    tree (vertices are ring-buffered and folded against conn_r at the
+    finish), so the carried ``cur`` keeps only wavelengths + lamp length —
+    carrying the [n, K', ...] tree costs ~250 MB of where()-rewrite HBM
+    traffic PER ITERATION at dragon scale (the round-5 cam-walk bound:
+    ~0.9 s of the ~1.1 s/iter), and the staged launches' host round-trip
+    keeps XLA from dead-code-eliminating it."""
     state = {
         "origin": jnp.zeros((n, 3)),
         "direction": jnp.zeros((n, 3)).at[:, 2].set(1.0),
@@ -1012,14 +1056,17 @@ def _cam_zero_carry(n, slots, s, bins, wl0):
         "light_events": jnp.zeros(n, jnp.int32),
     }
     cur0 = {
-        "position": jnp.zeros((n, slots, 3)),
-        "normal": jnp.zeros((n, slots, 3)),
-        "pp": jnp.zeros((n, slots, s)),
-        "aux_ok": jnp.zeros((n, slots), bool),
-        "conn_ok": jnp.zeros((n, slots), bool),
         "wl": jnp.full((n, s), wl0),
         "len_lamp": jnp.ones(n, jnp.int32),
     }
+    if not defer_conn:
+        cur0.update({
+            "position": jnp.zeros((n, slots, 3)),
+            "normal": jnp.zeros((n, slots, 3)),
+            "pp": jnp.zeros((n, slots, s)),
+            "aux_ok": jnp.zeros((n, slots), bool),
+            "conn_ok": jnp.zeros((n, slots), bool),
+        })
     return {
         "i": jnp.int32(0),
         "state": state,
@@ -1257,7 +1304,9 @@ def make_regen_bdpt_steps(
             positions = film.pixel_to_view(pxf, pyf)
             return camera.ray_towards(positions, u[:, 2], u[:, 3])
 
-        carry = _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+        carry = _cam_zero_carry(
+            n, slots, s, film.bins, film.span[0], defer_conn=defer_conn
+        )
         if defer_conn:
             carry.update(_defer_buffers())
         state, cur0 = carry["state"], carry["cur"]
@@ -1321,14 +1370,22 @@ def make_regen_bdpt_steps(
                 return jnp.where(keep, new, old)
 
             cur = {
-                "position": swap(cur["position"], conn_r["position"]),
-                "normal": swap(cur["normal"], conn_r["normal"]),
-                "pp": swap(cur["pp"], conn_r["pp"]),
-                "aux_ok": swap(cur["aux_ok"], conn_r["aux_ok"]),
-                "conn_ok": swap(cur["conn_ok"], conn_r["conn_ok"]),
                 "wl": swap(cur["wl"], wl_r),
                 "len_lamp": jnp.where(reg, round_take(len_r, ridx), cur["len_lamp"]),
             }
+            if not defer_conn:
+                # the in-loop fold reads the lane's round tree; the
+                # deferred body folds against conn_r at the finish, so
+                # carrying (and where()-rewriting) the [n, K', ...] tree
+                # every iteration would only burn HBM (~250 MB/iter at
+                # dragon scale — the round-5 cam-walk bound)
+                cur.update({
+                    "position": swap(c["cur"]["position"], conn_r["position"]),
+                    "normal": swap(c["cur"]["normal"], conn_r["normal"]),
+                    "pp": swap(c["cur"]["pp"], conn_r["pp"]),
+                    "aux_ok": swap(c["cur"]["aux_ok"], conn_r["aux_ok"]),
+                    "conn_ok": swap(c["cur"]["conn_ok"], conn_r["conn_ok"]),
+                })
             o2, d2 = fresh_rays(jax.random.fold_in(k_gen, c["i"]))
             rc = reg[:, None]
             st = {
@@ -1696,7 +1753,9 @@ def make_regen_bdpt_steps(
 
     def carry0(slots):
         """Host-side zero carry for the staged walk (slots = conn_r K')."""
-        c = _cam_zero_carry(n, slots, s, film.bins, film.span[0])
+        c = _cam_zero_carry(
+            n, slots, s, film.bins, film.span[0], defer_conn=defer_conn
+        )
         if defer_conn:
             c.update(_defer_buffers())
         return c
@@ -1768,17 +1827,26 @@ def _render_regen_bdpt(
         connections the finish is ALSO staged (pack once, a few connection
         chunks per launch, expose once) — the in-jit finish's launch length
         is data-dependent and trips the axon watchdog at dragon scale."""
+        import time as _t
+
+        t_c = _t.time()
         if staged:
             carry = st["carry0"](conn_r["conn_ok"].shape[2])
+            launches = 0
             while True:
                 carry, more = st["cam_iter"](
                     k_f, data, conn_r, wl_r, row0, spp_arr, carry
                 )
+                launches += 1
                 if not bool(more):
                     break
+            if _BDPT_TRACE:
+                print(
+                    f"[bdpt] cam_iters x{launches} {_t.time()-t_c:.1f}s",
+                    flush=True,
+                )
+                t_c = _t.time()
             if st["defer_conn"]:
-                import time as _t
-
                 packed, head = st["conn_pack"](data, conn_r, carry)
                 slots_c = conn_r["conn_ok"].shape[2]
                 rows_c = _deferred_rows(scene, slots_c)
@@ -1819,6 +1887,12 @@ def _render_regen_bdpt(
                         0.5 * per_chunk + 0.5 * dt
                     )
                     i0 = hi
+                if _BDPT_TRACE:
+                    print(
+                        f"[bdpt] conn pack+{active}ch {_t.time()-t_c:.1f}s",
+                        flush=True,
+                    )
+                    t_c = _t.time()
                 acc, wt, _, _ = st["conn_expose"](
                     acc, wt, data, conn_r, wl_r, row0, head, vsum, cnt
                 )
@@ -1838,6 +1912,8 @@ def _render_regen_bdpt(
         # round-4 "second-chunk lamp" crash (first chunk always ran clean,
         # isolate tools only ever ran one chunk).
         float(acc[0, 0, 0])
+        if _BDPT_TRACE:
+            print(f"[bdpt] expose+sync {_t.time()-t_c:.1f}s", flush=True)
         return acc, wt
 
     done = start_sample
@@ -1888,15 +1964,35 @@ def _render_regen_bdpt(
                     return acc, wt, flushes + 1
 
                 for r in range(take):
+                    import time as _t
+                    t_r = _t.time()
                     k_r = jax.random.fold_in(key, 1009 + r)
                     conn, wl, count = st["lamp"](k_r, data, jnp.int32(r))
+                    if _BDPT_TRACE:
+                        float(conn["pp"][0, 0, 0])
+                        print(f"[bdpt] lamp[{r}] {_t.time()-t_r:.1f}s", flush=True)
+                        t_r = _t.time()
                     if compacting:
-                        k_new = 4
-                        while k_new < int(count) and k_new < slots:
-                            k_new *= 2
-                        k_new = min(k_new, slots)
+                        # TWO buckets only (slots/2, slots): every distinct
+                        # k_new compiles its own compact/splat/stack/cam
+                        # variant (30-600 s each), and data-dependent
+                        # counts otherwise sprinkle fresh buckets over the
+                        # whole render — round 5 measured steady chunks of
+                        # ~13 s wall against ~minutes of stray bucket
+                        # compiles. The ragged splat + full-capacity cam
+                        # stacking made intermediate buckets worthless.
+                        k_new = slots if int(count) > slots // 2 else (
+                            max(4, slots // 2)
+                        )
                         conn = st["compact"](conn, k_new)
+                    if _BDPT_TRACE:
+                        float(conn["pp"][0, 0, 0])
+                        print(f"[bdpt] compact[{r}] k={k_new} {_t.time()-t_r:.1f}s", flush=True)
+                        t_r = _t.time()
                     acc, wt = st["splat"](acc, wt, conn, wl, data, ones)
+                    if _BDPT_TRACE:
+                        float(acc[0, 0, 0])
+                        print(f"[bdpt] splat[{r}] {_t.time()-t_r:.1f}s", flush=True)
                     k_round = conn["conn_ok"].shape[1]
                     cost = pix * k_round * (8 + cfg.spectrum_samples) * 4
                     if conns and stacked + cost > _CONN_STACK_BUDGET:
@@ -1950,11 +2046,14 @@ def pick_rows_per_chunk(
 def bdpt_sweep_kernel_allowed() -> bool:
     """Round-4 blocked the fused leaf sweep in all BDPT drives after the
     dragon-class stacked camera walk crashed the TPU worker with it
-    in-loop — but the isolate later ran the kernel clean, so the
-    attribution was never closed. PYRITE_TPU_BDPT_SWEEP=1 lifts the block
-    for root-causing (tools/tpu_dragon_isolate.py runs kernel-on by
-    construction: it never enters render())."""
-    return _os.environ.get("PYRITE_TPU_BDPT_SWEEP", "0") == "1"
+    in-loop. The crash never reproduced once round 4's two real root
+    causes were fixed (missing fetch sync + the data-dependent in-jit
+    finish): the round-5 isolate (tools/tpu_dragon_isolate.py, which runs
+    kernel-on by construction) and a FULL dragon-class bench
+    (20/256 bounces, staged walks + ragged finish) both ran clean with
+    the kernel enabled, so the block is lifted by default.
+    PYRITE_TPU_BDPT_SWEEP=0 restores it."""
+    return _os.environ.get("PYRITE_TPU_BDPT_SWEEP", "1") == "1"
 
 
 def render(project_data, scene: Scene, seed: int = 0, on_progress=None, max_samples=None, resume=None):

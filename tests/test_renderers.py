@@ -992,6 +992,62 @@ def test_staged_cam_walk_matches_one_shot(tmp_path, monkeypatch):
     )
 
 
+def test_splat_ragged_compaction_matches_single_batch(tmp_path, monkeypatch):
+    """The compacted splat shadow walk (valid (lane, slot) pairs argsorted
+    first, only ceil(count/cap) cap-wide chunks walked) must expose the
+    same film as the single full-width batch — compaction only reorders
+    inert-padding work, never verdicts."""
+    import jax
+
+    from pyrite_tpu.film import Film
+    from pyrite_tpu.renderers import bidirectional as bd
+    from pyrite_tpu.scene import CameraModel
+    from pyrite_tpu.tracer import TraceConfig
+
+    src = SCENE % {"algo": "bidirectional", "spp": 4,
+                   "extra": ", light_bounces = 12"}
+    path = tmp_path / "splat.lua"
+    path.write_text(src)
+    pd = load_project(str(path))
+    scene = build_scene(pd)
+    project = pd.project
+    film = Film(width=project.image.width, height=project.image.height,
+                bins=project.renderer.spectrum_bins,
+                span=project.renderer.spectrum_span)
+    camera = CameraModel.from_ir(project.camera)
+    cfg = TraceConfig(bounces=3, light_samples=1, spectrum_samples=4)
+
+    from pyrite_tpu.tracer import trace_lamp_path
+
+    key = jax.random.PRNGKey(11)
+    data = scene.device_data()
+    with scene.bind(data):
+        n = 64
+        lo, hi = film.span
+        wl = jax.random.uniform(key, (n, 4), minval=lo, maxval=hi)
+        lamp_cfg = TraceConfig(bounces=12, light_samples=0, spectrum_samples=4)
+        lpath = trace_lamp_path(scene, lamp_cfg, key, wl)
+        conn = bd._connection_arrays(scene, lpath, wl, cfg, key)
+
+        acc0, wt0 = film.new_buffers()
+        acc_a, wt_a = bd._light_splats(
+            scene, film, camera, cfg, conn, wl, acc0, wt0
+        )
+
+        # force the chunked path (m = 64 * 13 = 832 queries > cap = 128)
+        monkeypatch.setattr(bd, "_splat_shadow_cap", lambda s: 128)
+        acc0, wt0 = film.new_buffers()
+        acc_b, wt_b = bd._light_splats(
+            scene, film, camera, cfg, conn, wl, acc0, wt0
+        )
+    np.testing.assert_allclose(
+        np.asarray(acc_b), np.asarray(acc_a), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(wt_b), np.asarray(wt_a), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_deferred_connections_match_inline(tmp_path, monkeypatch):
     """Deferred connections (PYRITE_TPU_CONN_DEFER: the regen walk records
     diffuse vertices and the finish step batches every connection shadow
