@@ -72,6 +72,9 @@ def pick_rows(film: Film, scene: Scene, cfg: TraceConfig = None, bounces=None) -
     from ..tracer import CLUSTER_LANE_CAP
 
     budget_lanes = film.height * film.width
+    cap = texture_lane_cap(scene)
+    if cap is not None:
+        budget_lanes = min(budget_lanes, cap)
     if scene.use_clusters:
         budget_lanes = min(budget_lanes, CLUSTER_LANE_CAP)
     elif cfg is not None and scene.num_primitives > 128:
@@ -520,11 +523,30 @@ def make_regen_step(scene: Scene, film: Film, camera: CameraModel, cfg: TraceCon
     return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
 
-def _regen_planes(film: Film, rows: int, use_clusters: bool = False) -> int:
+def texture_lane_cap(scene) -> int | None:
+    """Regen wavefront bound for texture-program scenes, else None.
+
+    Bicubic color + normal-map gathers at megabatch width crash the TPU
+    worker (round 5: textures.lua, 1024x512 -> 524k regen lanes, died on
+    the FIRST launch both runs, while the one-shot path renders the same
+    scene clean — the regen accumulators + per-bounce 16-tap texture
+    temporaries together exceed the worker's footprint). 131k lanes keeps
+    the concurrent gather temporaries bounded."""
+    has_tex = any(p.uses_texture for p in scene.color_programs) or any(
+        getattr(p, "uses_texture", False) for p in scene.normal_programs
+    )
+    return 131072 if has_tex else None
+
+
+def _regen_planes(film: Film, rows: int, use_clusters: bool = False, scene=None) -> int:
     from ..tracer import CLUSTER_LANE_CAP
 
     # cluster scenes keep the tuned walk width (CLAUDE.md; env-overridable)
     target = CLUSTER_LANE_CAP if use_clusters else REGEN_TARGET_LANES
+    if scene is not None:
+        cap = texture_lane_cap(scene)
+        if cap is not None:
+            target = min(target, cap)
     pix = rows * film.width
     return max(1, min(REGEN_MAX_PLANES, target // max(pix, 1)))
 
@@ -571,7 +593,7 @@ def _render_regen(
     exactly."""
     import numpy as np
 
-    planes = _regen_planes(film, rows, scene.use_clusters)
+    planes = _regen_planes(film, rows, scene.use_clusters, scene=scene)
     chunks = film.height // rows
     step = make_regen_step(scene, film, camera, cfg, rows=rows, planes=planes)
     if spp_chunk is None:
@@ -1128,7 +1150,7 @@ def _render_regen_sharded(
     n_dev = mesh.devices.size
     data = scene.device_data()
     chunks = film.height // rows
-    planes = _regen_planes(film, rows, scene.use_clusters)
+    planes = _regen_planes(film, rows, scene.use_clusters, scene=scene)
     pix = rows * film.width
     n = pix * planes
 
